@@ -1,0 +1,239 @@
+"""Keyed MERGE (upsert/delete apply) into a LakeTable — the heart of the engine.
+
+Reimplements the reference's BigQuery MERGE statements (M1/M2:
+src/features/nhanh/bills/components/loader.py:327-583 —
+``WHEN MATCHED THEN UPDATE SET <all cols> / WHEN NOT MATCHED THEN INSERT``,
+keys ``(id,date)`` / ``(bill_id,product_id)``) plus its last-writer-wins dedup
+(W1/J4: ROW_NUMBER() OVER (PARTITION BY key ORDER BY extraction_timestamp DESC)
+... rn=1, src/scripts/remove_duplicates.py:47-63) as one Spark-native
+copy-on-write merge:
+
+1. **LWW dedup** the incoming change batch per key by monotonic LSN
+   (max_by over all columns; optional salted two-phase aggregation for
+   hot-key skew — SURVEY.md §4 custom item 1).
+2. **Bucket pruning**: collect the distinct buckets the batch touches
+   (≤ num_buckets small ints) and read ONLY those target files via the
+   manifest — the Spark analogue of the reference's partition-pruned MERGE
+   ("Partition filtering trong MERGE để tối ưu", loader.py:27).
+3. **Apply**: survivors = target rows whose key is NOT in the batch
+   (broadcast anti-join — target is never shuffled for the probe), unioned
+   with batch rows whose final op is not DELETE. Delete-then-reinsert inside
+   one batch resolves correctly because the max-LSN event's op decides
+   (SURVEY.md §7.5 item 2).
+4. **Atomic swap** of the touched buckets' files in one commit, carrying the
+   exactly-once fence properties and lineage metrics.
+
+Scale: shuffle volume is bounded by (batch size) + (data in touched buckets);
+untouched buckets are never read. At 10^10 events the knobs are num_buckets
+(more buckets -> finer rewrite granularity) and salt_buckets.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .table import BUCKET_COL, LakeTable, widen_type
+
+# CDC envelope columns that never land in the silver table.
+ENVELOPE_COLS = ("lsn", "epoch", "op", "event_ts")
+
+OP_INSERT, OP_UPDATE, OP_DELETE = "I", "U", "D"
+
+
+@dataclass
+class MergeMetrics:
+    """Per-batch lineage record (reference analogue: per-job metrics
+    records_count / duration / records_per_second, src/monitoring/metrics.py:100)."""
+    batch_id: int = -1
+    events_in: int = 0
+    keys: int = 0
+    deletes: int = 0
+    upserts: int = 0
+    buckets_touched: int = 0
+    target_rows_read: int = 0
+    skew_factor: float = 0.0       # max keys per bucket / mean keys per bucket
+    duration_sec: float = 0.0
+    version: int = -1
+    skipped_fence: bool = False
+    schema_evolved: bool = False
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dict(self.__dict__)
+        d.update(d.pop("extra"))
+        return d
+
+
+def lww_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keep the max-LSN event per key (deletes included — the winner's op
+    decides the key's fate).
+
+    Default path: ``groupBy(keys).agg(max_by(struct(*), lsn))`` — Catalyst
+    plans this as partial+final hash aggregation, so map-side combine already
+    absorbs most duplicate traffic.
+
+    ``salt_buckets > 0`` adds an explicit two-phase salted aggregation for
+    pathological single-key floods: phase 1 reduces per (key, salt), phase 2
+    per key. Salt is derived from the LSN so it is deterministic.
+    """
+    cols = events.columns
+    row = F.struct(*[F.col(c) for c in cols]).alias("_row")
+    if salt_buckets and salt_buckets > 1:
+        salted = events.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets)))
+        phase1 = (
+            salted.groupBy(*key_cols, "_salt")
+            .agg(F.max_by(row, F.col(lsn_col)).alias("_row"),
+                 F.max(lsn_col).alias("_mx"))
+        )
+        winner = (
+            phase1.groupBy(*key_cols)
+            .agg(F.max_by("_row", F.col("_mx")).alias("_row"))
+        )
+    else:
+        winner = events.groupBy(*key_cols).agg(
+            F.max_by(row, F.col(lsn_col)).alias("_row"))
+    return winner.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def evolve_for_batch(table: LakeTable, batch: DataFrame,
+                     envelope_cols: tuple[str, ...] = ENVELOPE_COLS) -> bool:
+    """Diff the batch's data columns against the table schema and apply
+    additive evolution (new column -> added with NULL backfill; numeric type
+    widened per the int->long->double lattice). Returns True if evolved.
+
+    Reference analogues: NULL-padding to schema (gcs/loader.py:307-324),
+    forced float widening (extractor.py:244-280), additive ALTER TABLE
+    (backfill_products_partition.py:5-12)."""
+    snap = table.snapshot()
+    cur = {f.name: f for f in snap.schema.fields}
+    out_fields = list(snap.schema.fields)
+    changed = False
+    for f in batch.schema.fields:
+        if f.name in envelope_cols or f.name == BUCKET_COL:
+            continue
+        if f.name not in cur:
+            out_fields.append(T.StructField(f.name, f.dataType, True))
+            changed = True
+        else:
+            w = widen_type(cur[f.name].dataType, f.dataType)
+            if w is not None and w != cur[f.name].dataType:
+                out_fields = [
+                    T.StructField(f.name, w, True) if x.name == f.name else x
+                    for x in out_fields
+                ]
+                changed = True
+    if changed:
+        table.evolve_schema(T.StructType(out_fields),
+                            properties={"evolved_for": "merge_batch"})
+    return changed
+
+
+def merge_cdc_batch(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int = -1,
+    txn_app: str | None = None,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    salt_buckets: int = 0,
+    allow_schema_evolution: bool = True,
+    extra_props: dict[str, Any] | None = None,
+) -> MergeMetrics:
+    """Apply one micro-batch of CDC envelopes to the table, exactly once.
+
+    Envelope rows: key columns + payload columns + (lsn, op[, epoch, event_ts]).
+    op semantics: I/U upsert (U on an absent key inserts — same as the
+    reference MERGE), D deletes. LWW by lsn.
+    """
+    t0 = time.monotonic()
+    m = MergeMetrics(batch_id=batch_id)
+
+    # ---- exactly-once fence: skip batches already committed (idempotent
+    # under foreachBatch retry — strengthens reference watermark
+    # commit-after-load, src/pipeline/extraction.py:154-158).
+    if txn_app is not None and batch_id >= 0:
+        last = table.last_txn(txn_app)
+        if last is not None and batch_id <= last:
+            m.skipped_fence = True
+            m.duration_sec = time.monotonic() - t0
+            return m
+
+    if allow_schema_evolution:
+        m.schema_evolved = evolve_for_batch(table, events)
+
+    snap = table.snapshot()
+    key_cols = table.key_cols
+
+    # ---- 1. LWW dedup + bucket assignment
+    winners = lww_dedup(events, key_cols, lsn_col, salt_buckets)
+    winners = winners.withColumn(BUCKET_COL, table.bucket_expr()).cache()
+    try:
+        # one pass for counts + touched buckets + skew factor (small result)
+        bstats = (
+            winners.groupBy(BUCKET_COL)
+            .agg(F.count("*").alias("k"),
+                 F.sum(F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0)).alias("d"))
+            .collect()
+        )
+        if not bstats:
+            m.duration_sec = time.monotonic() - t0
+            return m
+        buckets = [int(r[BUCKET_COL]) for r in bstats]
+        m.keys = sum(int(r["k"]) for r in bstats)
+        m.deletes = sum(int(r["d"]) for r in bstats)
+        m.upserts = m.keys - m.deletes
+        m.buckets_touched = len(buckets)
+        mean_k = m.keys / len(buckets)
+        m.skew_factor = round(max(int(r["k"]) for r in bstats) / mean_k, 3) if mean_k else 0.0
+
+        # ---- 2. bucket-pruned target read (manifest-level skipping)
+        target_files = snap.files_for_buckets(buckets)
+        m.target_rows_read = sum(e.rows for e in target_files)
+        target = table.read(buckets=buckets, with_bucket=True)
+
+        # ---- 3. survivors ∪ upserts
+        batch_keys = winners.select(*key_cols)
+        survivors = target.join(F.broadcast(batch_keys), on=key_cols, how="left_anti")
+        fields = list(snap.schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
+        data_cols = [f.name for f in fields]
+        upserts = (
+            winners.filter(F.col(op_col) != OP_DELETE)
+            .select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in winners.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ])
+        )
+        merged = survivors.select(*data_cols).unionByName(upserts)
+
+        # ---- 4. atomic commit with fence + lineage in properties
+        props: dict[str, Any] = dict(extra_props or {})
+        props["lineage"] = {
+            "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
+            "upserts": m.upserts, "buckets_touched": m.buckets_touched,
+            "target_rows_read": m.target_rows_read, "skew_factor": m.skew_factor,
+        }
+        if txn_app is not None:
+            props["txn_app"] = txn_app
+            props["txn_batch"] = batch_id
+        m.version = table.commit_rewrite(
+            merged, target_files, "merge", snap.schema, snap.schema_id, props)
+    finally:
+        winners.unpersist()
+
+    m.duration_sec = time.monotonic() - t0
+    # lineage goes into the commit log too (cheap, driver-side JSON)
+    return m

@@ -1,0 +1,545 @@
+"""LakeTable — a from-scratch transactional table format on parquet.
+
+The reference persists silver data in BigQuery native tables (partitioned +
+clustered, mutated via SQL MERGE/DELETE — see reference
+src/features/nhanh/bills/components/loader.py:327-583 and
+sql/schema_clean.sql:39-65) and bronze data as one-live-file-per-partition
+parquet on GCS (src/shared/gcs/loader.py:173-224, 244-391). Neither Iceberg nor
+Delta jars are available in this environment, so this module implements the
+table-format layer those systems provide, from scratch, with the same core
+guarantees:
+
+* **Atomic commits / snapshot isolation** — every mutation is a JSON commit
+  file in ``_log/`` created with O_EXCL (atomic on POSIX); readers replay the
+  log to a consistent file set. Concurrent writers race on the commit file and
+  the loser gets :class:`CommitConflictError` (optimistic concurrency, like
+  Iceberg).
+* **Bucket partition spec** — rows are assigned ``_bucket =
+  pmod(xxhash64(*key_cols), num_buckets)``; data files are bucket-pure (one
+  bucket per file), so keyed MERGE rewrites only the buckets a batch touches.
+  This replaces BigQuery ``PARTITION BY date CLUSTER BY ...`` and defuses
+  hot-key concentration at the file level (SURVEY.md §7.5 item 4).
+* **File-level column stats** — per-file min/max/null-count harvested from
+  parquet footers (metadata-only, no data scan) for data skipping, the same
+  mechanism Iceberg manifests / Delta checkpoints use.
+* **Schema evolution** — additive columns and int->long->double widening;
+  old files are read with the schema they were written with, then cast/padded
+  (reference analogue: NULL-padding at write, src/shared/gcs/loader.py:307-324,
+  and forced widening, .../extractor.py:244-280).
+* **Time travel** — ``read(version=N)`` replays the log to any retained commit.
+* **Transaction fencing** — commit properties carry ``(txn_app, txn_batch)``;
+  :meth:`LakeTable.last_txn` lets an idempotent sink skip replayed batches
+  (strengthens the reference watermark commit, src/loaders/watermark.py:141-185,
+  to exactly-once).
+
+Scale notes (designed for 1000-executor / 100 TB, tested on local[32]):
+data files are written and read by distributed Spark jobs; only the commit
+log (KB-sized JSON) and parquet *footers* are touched driver-side. At very
+large file counts footer harvesting would move into executors
+(``mapInPandas`` over file lists) — the manifest format already supports it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+# Columns the engine manages; not part of the user-visible schema.
+BUCKET_COL = "_bucket"
+
+# int -> long -> double widening lattice (reference "Critical: always float64,
+# never int64", src/shared/parquet/schemas.py:30-34).
+_WIDEN_RANK = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3, "float": 4, "double": 5,
+}
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+@dataclass
+class FileEntry:
+    path: str                      # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    schema_id: int
+    stats: dict[str, list[Any]] = field(default_factory=dict)  # col -> [min, max, nulls]
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path, "bucket": self.bucket, "rows": self.rows,
+            "bytes": self.bytes, "schema_id": self.schema_id, "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FileEntry":
+        return FileEntry(d["path"], d["bucket"], d["rows"], d["bytes"],
+                         d["schema_id"], d.get("stats", {}))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_id: int
+    schema: T.StructType
+    schemas: dict[int, T.StructType]         # schema_id -> schema (for old files)
+    files: dict[str, FileEntry]              # rel path -> entry
+    table_meta: dict[str, Any]
+    properties: dict[str, Any]
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.rows for f in self.files.values())
+
+    def files_for_buckets(self, buckets: Iterable[int] | None) -> list[FileEntry]:
+        if buckets is None:
+            return list(self.files.values())
+        bs = set(buckets)
+        return [f for f in self.files.values() if f.bucket in bs]
+
+
+def _schema_with_bucket(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())])
+
+
+class LakeTable:
+    """A transactional, bucket-partitioned parquet table with a JSON commit log."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self._snap_cache: dict[int, Snapshot] = {}
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        """CREATE TABLE: writes commit 0 (no data files)."""
+        t = LakeTable(spark, location)
+        if t.exists():
+            raise FileExistsError(f"LakeTable already exists at {location}")
+        os.makedirs(os.path.join(t.location, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.location, _DATA_DIR), exist_ok=True)
+        for k in key_cols:
+            if k not in schema.fieldNames():
+                raise ValueError(f"key column {k!r} not in schema")
+        t._write_commit(
+            version=0,
+            action="create",
+            schema=schema,
+            schema_id=0,
+            adds=[],
+            removes=[],
+            properties=properties or {},
+            table_meta={"key_cols": list(key_cols), "num_buckets": int(num_buckets)},
+        )
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "LakeTable":
+        t = LakeTable(spark, location)
+        if not t.exists():
+            raise FileNotFoundError(f"no LakeTable at {location}")
+        return t
+
+    def exists(self) -> bool:
+        return bool(self._commit_versions())
+
+    # ------------------------------------------------------------ commit log
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.location, _LOG_DIR, f"{version:020d}.json")
+
+    def _commit_versions(self) -> list[int]:
+        pat = os.path.join(self.location, _LOG_DIR, "*.json")
+        return sorted(int(os.path.basename(p)[:-5]) for p in glob.glob(pat))
+
+    def current_version(self) -> int:
+        vs = self._commit_versions()
+        if not vs:
+            raise FileNotFoundError(f"no LakeTable at {self.location}")
+        return vs[-1]
+
+    def _write_commit(
+        self,
+        version: int,
+        action: str,
+        schema: T.StructType,
+        schema_id: int,
+        adds: list[FileEntry],
+        removes: list[str],
+        properties: dict[str, Any],
+        table_meta: dict[str, Any] | None = None,
+    ) -> int:
+        doc = {
+            "version": version,
+            "action": action,
+            "schema_id": schema_id,
+            "schema": json.loads(schema.json()),
+            "adds": [a.to_json() for a in adds],
+            "removes": list(removes),
+            "properties": properties,
+            "commit_ts_ms": int(time.time() * 1000),  # audit only, never in data
+        }
+        if table_meta is not None:
+            doc["table"] = table_meta
+        path = self._log_path(version)
+        payload = json.dumps(doc, separators=(",", ":")).encode()
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(f"version {version} already committed") from e
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        self._snap_cache.pop(-1, None)
+        return version
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        vs = self._commit_versions()
+        if not vs:
+            raise FileNotFoundError(f"no LakeTable at {self.location}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
+        if v in self._snap_cache:
+            return self._snap_cache[v]
+        files: dict[str, FileEntry] = {}
+        schemas: dict[int, T.StructType] = {}
+        schema_id = 0
+        schema: T.StructType | None = None
+        table_meta: dict[str, Any] = {}
+        props: dict[str, Any] = {}
+        for cv in vs:
+            if cv > v:
+                break
+            with open(self._log_path(cv)) as fh:
+                doc = json.load(fh)
+            schema = T.StructType.fromJson(doc["schema"])
+            schema_id = doc["schema_id"]
+            schemas[schema_id] = schema
+            if "table" in doc:
+                table_meta = doc["table"]
+            props = doc.get("properties", {})
+            for rm in doc["removes"]:
+                files.pop(rm, None)
+            for a in doc["adds"]:
+                e = FileEntry.from_json(a)
+                files[e.path] = e
+        snap = Snapshot(v, schema_id, schema, schemas, files, table_meta, props)
+        self._snap_cache[v] = snap
+        return snap
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for cv in self._commit_versions():
+            with open(self._log_path(cv)) as fh:
+                doc = json.load(fh)
+            out.append({k: doc[k] for k in
+                        ("version", "action", "schema_id", "properties", "commit_ts_ms")})
+        return out
+
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest txn_batch committed for app_id — the exactly-once fence."""
+        best: int | None = None
+        for h in self.history():
+            p = h.get("properties", {})
+            if p.get("txn_app") == app_id and p.get("txn_batch") is not None:
+                b = int(p["txn_batch"])
+                best = b if best is None or b > best else best
+        return best
+
+    # --------------------------------------------------------------- buckets
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.snapshot().table_meta["key_cols"]
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.snapshot().table_meta["num_buckets"])
+
+    def bucket_expr(self, key_cols: list[str] | None = None):
+        """pmod(xxhash64(keys), N) — deterministic bucket assignment.
+
+        NULL keys hash via coalesce-to-sentinel so they land in a stable bucket
+        (the reference tolerates NULL-keyed legacy rows and repairs them in
+        MERGE, loader.py:517-519).
+        """
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in (key_cols or self.key_cols)]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+
+    # ----------------------------------------------------------------- reads
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        with_bucket: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. ``buckets`` prunes to the given bucket ids using the
+        manifest (no file even opened for pruned buckets)."""
+        snap = self.snapshot(version)
+        entries = snap.files_for_buckets(buckets)
+        cur_schema = _schema_with_bucket(snap.schema)
+        if not entries:
+            df = self.spark.createDataFrame([], cur_schema)
+        else:
+            # Group by schema_id: old files are read with their written schema,
+            # then cast/padded to the current one (safe widening reads).
+            by_sid: dict[int, list[str]] = {}
+            for e in entries:
+                by_sid.setdefault(e.schema_id, []).append(
+                    os.path.join(self.location, e.path))
+            parts: list[DataFrame] = []
+            for sid, paths in sorted(by_sid.items()):
+                written = _schema_with_bucket(snap.schemas[sid])
+                part = self.spark.read.schema(written).parquet(*paths)
+                parts.append(_conform(part, cur_schema))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        return df if with_bucket else df.drop(BUCKET_COL)
+
+    def is_empty(self) -> bool:
+        return self.snapshot().num_rows == 0
+
+    # ---------------------------------------------------------------- writes
+
+    def _write_data_files(
+        self, df: DataFrame, version: int, schema: T.StructType, schema_id: int,
+        repartition: bool = True,
+    ) -> list[FileEntry]:
+        """Write df (must already carry BUCKET_COL) as bucket-pure parquet files.
+
+        ``partitionBy`` on a duplicated ``_bkt`` column yields one directory per
+        bucket; ``_bucket`` itself stays as a data column so snapshot reads need
+        no basePath reconstruction. Stats come from parquet footers only.
+        """
+        out = df
+        # conform column order/types to the table schema + bucket
+        target = _schema_with_bucket(schema)
+        out = _conform(out, target)
+        if repartition:
+            out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
+        out = out.withColumn("_bkt", F.col(BUCKET_COL))
+        rel_dir = f"{_DATA_DIR}/c{version:010d}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.location, rel_dir)
+        out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
+        return self._harvest_entries(abs_dir, rel_dir, schema_id)
+
+    def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int) -> list[FileEntry]:
+        import pyarrow.parquet as pq
+
+        entries: list[FileEntry] = []
+        for fp in glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet")):
+            bucket = int(os.path.basename(os.path.dirname(fp)).split("=", 1)[1])
+            md = pq.read_metadata(fp)
+            stats: dict[str, list[Any]] = {}
+            sch = md.schema
+            for ci in range(md.num_columns):
+                name = sch.column(ci).name
+                mn = mx = None
+                nulls = 0
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    nulls += st.null_count or 0
+                    mn = st.min if mn is None or st.min < mn else mn
+                    mx = st.max if mx is None or st.max > mx else mx
+                if ok and mn is not None and _json_safe(mn) and _json_safe(mx):
+                    stats[name] = [mn, mx, nulls]
+            rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
+            entries.append(FileEntry(rel, bucket, md.num_rows,
+                                     os.path.getsize(fp), schema_id, stats))
+        return entries
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if BUCKET_COL in df.columns:
+            return df
+        return df.withColumn(BUCKET_COL, self.bucket_expr())
+
+    def append(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
+        """Blind append (the reference's empty-table fast path M3 — a pure
+        insert with no match scan, loader.py:347-378)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        adds = self._write_data_files(self._with_bucket(df), version,
+                                      snap.schema, snap.schema_id)
+        return self._write_commit(version, "append", snap.schema, snap.schema_id,
+                                  adds, [], properties or {})
+
+    def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
+        """Full-table replace (snapshot-atomic truncate + insert)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        adds = self._write_data_files(self._with_bucket(df), version,
+                                      snap.schema, snap.schema_id)
+        removes = list(snap.files.keys())
+        return self._write_commit(version, "overwrite", snap.schema, snap.schema_id,
+                                  adds, removes, properties or {})
+
+    def overwrite_buckets(self, df: DataFrame,
+                          properties: dict[str, Any] | None = None) -> int:
+        """Replace exactly the buckets present in df — the reference's
+        partition-overwrite semantics (delete matching files then upload one
+        fresh file, src/shared/gcs/loader.py:173-224 + 277-282) expressed as
+        one atomic commit instead of delete-then-write."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        dfb = self._with_bucket(df)
+        touched = [r[0] for r in dfb.select(BUCKET_COL).distinct().collect()]
+        adds = self._write_data_files(dfb, version, snap.schema, snap.schema_id)
+        removes = [e.path for e in snap.files_for_buckets(touched)]
+        props = dict(properties or {})
+        props["overwritten_buckets"] = sorted(touched)
+        return self._write_commit(version, "overwrite_buckets", snap.schema,
+                                  snap.schema_id, adds, removes, props)
+
+    def delete_where(self, condition: str,
+                     properties: dict[str, Any] | None = None) -> int:
+        """DELETE FROM t WHERE cond — copy-on-write rewrite of affected files
+        (reference: partition delete M5 loader.py:194-272 and batched NULL-key
+        delete M6 loader.py:945-974; no 1000-item IN-list chunking needed)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        full = self.read(with_bucket=True)
+        keep = full.filter(~F.expr(condition) | F.expr(condition).isNull())
+        adds = self._write_data_files(keep, version, snap.schema, snap.schema_id)
+        removes = list(snap.files.keys())
+        return self._write_commit(version, "delete", snap.schema, snap.schema_id,
+                                  adds, removes, properties or {})
+
+    def commit_rewrite(
+        self,
+        new_data: DataFrame,
+        remove_entries: list[FileEntry],
+        action: str,
+        schema: T.StructType,
+        schema_id: int,
+        properties: dict[str, Any] | None = None,
+        repartition: bool = True,
+    ) -> int:
+        """Low-level: atomically swap ``remove_entries`` for the files of
+        ``new_data`` (used by MERGE and compaction)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        adds = self._write_data_files(self._with_bucket(new_data), version,
+                                      schema, schema_id, repartition=repartition)
+        return self._write_commit(version, action, schema, schema_id, adds,
+                                  [e.path for e in remove_entries],
+                                  properties or {})
+
+    def evolve_schema(self, new_schema: T.StructType,
+                      properties: dict[str, Any] | None = None) -> int:
+        """Metadata-only schema change (additive columns / widening). Existing
+        files stay as-is; reads conform them (NULL backfill / upcast).
+        Reference analogue: ALTER TABLE ... ADD COLUMN IF NOT EXISTS + MERGE
+        backfill (backfill_products_partition.py:59-96)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        return self._write_commit(version, "evolve_schema", new_schema,
+                                  snap.schema_id + 1, [], [], properties or {})
+
+    def compact(self, min_files_per_bucket: int = 2,
+                properties: dict[str, Any] | None = None) -> int | None:
+        """Rewrite buckets fragmented across many files into one file each
+        (reference analogue: single-file-per-partition compaction,
+        gcs/loader.py:173-224; Iceberg rewrite_data_files)."""
+        snap = self.snapshot()
+        by_bucket: dict[int, list[FileEntry]] = {}
+        for e in snap.files.values():
+            by_bucket.setdefault(e.bucket, []).append(e)
+        frag = {b: es for b, es in by_bucket.items() if len(es) >= min_files_per_bucket}
+        if not frag:
+            return None
+        victims = [e for es in frag.values() for e in es]
+        df = self.read(buckets=list(frag.keys()), with_bucket=True)
+        props = dict(properties or {})
+        props["compacted_buckets"] = sorted(frag.keys())
+        return self.commit_rewrite(df, victims, "compact", snap.schema,
+                                   snap.schema_id, props)
+
+    def vacuum(self, keep_versions: int = 2) -> int:
+        """Physically delete data files not referenced by the newest
+        ``keep_versions`` snapshots. Returns #files removed."""
+        vs = self._commit_versions()
+        keep = set()
+        for v in vs[-keep_versions:]:
+            keep.update(self.snapshot(v).files.keys())
+        removed = 0
+        for fp in glob.glob(os.path.join(self.location, _DATA_DIR, "**", "*.parquet"),
+                            recursive=True):
+            rel = os.path.relpath(fp, self.location)
+            if rel not in keep:
+                os.remove(fp)
+                removed += 1
+        return removed
+
+
+# ------------------------------------------------------------------ helpers
+
+def _json_safe(v: Any) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
+
+
+def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common widened numeric type, or None if incompatible.
+    Implements the reference's INT64->FLOAT64 widening rule
+    (src/shared/parquet/schemas.py:30-34) generalized to the
+    byte<short<int<long<float<double lattice."""
+    if a == b:
+        return a
+    ra, rb = _WIDEN_RANK.get(a.typeName()), _WIDEN_RANK.get(b.typeName())
+    if ra is None or rb is None:
+        return None
+    return a if ra >= rb else b
+
+
+def _conform(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto target schema: missing columns -> NULL (reference
+    NULL-padding, gcs/loader.py:307-324), present columns cast to target type
+    (widening), extras dropped (gcs/loader.py:329-345)."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            src = have[f.name]
+            if src.dataType == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs single-threaded CPython and delegates all relational work to
+BigQuery (SURVEY.md §3: "everything driver-side is single-threaded sequential
+Python"). Here the session itself is the engine, so the defaults matter:
+
+* AQE on (runtime coalesce + skew-join splitting) — our answer to the
+  reference's reliance on BigQuery's adaptive execution.
+* Arrow enabled for the few pandas-UDF paths (vectorized, never per-row).
+* shuffle partitions sized for local[32] test runs; override for clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-api-bigquery-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: bad casts yield NULL, matching the reference's
+        # safe_int/safe_float semantics (one_office/components/loader.py:64-89).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
