@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale corpora — exact and near-dup.
+
+Extends the reference's duplicate handling (exact key dups via
+GROUP BY ... HAVING COUNT(*)>1 + ROW_NUMBER keep-latest,
+src/scripts/check_duplicates.py:44-64 / remove_duplicates.py:47-63) to the
+content-level dedup a training-data pipeline needs: exact content hash,
+MinHash+LSH, SimHash, n-gram Jaccard. All stages are DataFrame-native:
+
+* signatures are computed with higher-order functions over token arrays
+  (JVM columnar, no Python);
+* candidate generation is a band-bucket shuffle (``explode`` bands ->
+  ``groupBy`` bucket), never an all-pairs cross join — the O(n^2) step is
+  confined to within-bucket pairs, which is what makes this viable at 10^9
+  documents;
+* verification (true Jaccard) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import content_sha256, tokens
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content hash."""
+    h = df.withColumn("_h", content_sha256(text_col))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (h.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .drop("_h", "_rn"))
+
+
+def lww_keep_latest(df: DataFrame, key_cols: list[str], ts_col: str) -> DataFrame:
+    """ROW_NUMBER keep-latest — the reference's core dedup rule
+    (remove_duplicates.py:55: PARTITION BY id ORDER BY extraction_timestamp
+    DESC, rn=1)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ----------------------------------------------------------------- shingles
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as a distinct string array (columnar)."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(k > 0, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )).otherwise(F.array()))
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """True Jaccard similarity of two shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------------ MinHash
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """num_hashes-wide MinHash signature: for each hash fn i,
+    min over shingles of xxhash64(shingle, i, seed). Pure array expressions."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i), F.lit(seed))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified by true Jaccard.
+
+    Pipeline: shingle -> minhash -> split signature into ``bands`` bands ->
+    hash each band -> shuffle on (band, band_hash) -> within-bucket self-join
+    for candidate pairs -> verify with exact Jaccard on shingle sets.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("_id"),
+                     shingles(text_col, shingle_n).alias("_sh"))
+             .filter(F.size("_sh") > 0)
+             .withColumn("_sig", minhash_signature("_sh", num_hashes)))
+    banded = sig.select(
+        "_id", "_sh",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"))),
+            ),
+        )).alias("_band", "_bh"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
+                      "_band", "_bh")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
+                      "_band", "_bh")
+    pairs = (a.join(b, on=["_band", "_bh"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "_sha", "_shb")
+              .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .withColumn("jaccard", F.round(ngram_jaccard(F.col("_sha"),
+                                                         F.col("_shb")), 4))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  min_jaccard: float = 0.8, **kw) -> DataFrame:
+    """Drop near-duplicates: for every candidate pair above threshold, the
+    higher id is removed (connected-component-free greedy rule, deterministic)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col,
+                                   min_jaccard=min_jaccard, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash_bits(col: Column | str, bits: int = 64) -> Column:
+    """SimHash over tokens as a bit-sign vector, returned as a ``bits``-char
+    '0'/'1' string (MSB first). aggregate+zip_with keeps it fully columnar."""
+    toks = tokens(col)
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.when(
+                    F.shiftright(F.xxhash64(t), j.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.concat_ws("", F.transform(
+        acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash bit strings."""
+    return F.size(F.filter(
+        F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+        lambda z: z))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 64, bands: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the bit string into ``bands`` chunks;
+    docs sharing any exact chunk are candidates (guaranteed to catch any pair
+    with < bands differing bits); verify by Hamming distance."""
+    chunk = bits // bands
+    sh = df.select(F.col(id_col).alias("_id"),
+                   simhash_bits(text_col, bits).alias("_sim"))
+    banded = sh.select("_id", "_sim", F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.substring(F.col("_sim"), b * chunk + 1, chunk),
+    )).alias("_band", "_chunk"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sa"),
+                      "_band", "_chunk")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sb"),
+                      "_band", "_chunk")
+    return (a.join(b, on=["_band", "_chunk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("hamming", simhash_hamming(F.col("_sa"), F.col("_sb")))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))

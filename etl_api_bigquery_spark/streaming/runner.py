@@ -1,0 +1,79 @@
+"""Structured Streaming CDC tailer: change-feed files -> MERGE-apply sink.
+
+Replaces the reference's single-threaded daily polling loop
+(src/features/nhanh/bills/pipeline.py:51-100: split days -> extract -> load ->
+commit watermark, fail-fast) with the Spark-native shape (SURVEY.md §2.10):
+
+* source: ``readStream`` file source over the change-log directory
+  (``maxFilesPerTrigger`` = the reference's one-day micro-batch, T2);
+* sink:   ``foreachBatch`` -> :func:`merge_cdc_batch` into a LakeTable —
+  idempotent under batch replay because the fence (txn_app, batch_id) is
+  committed atomically with the data (T5 strengthened to exactly-once);
+* recovery: the checkpoint's offset log resumes the source; replayed batches
+  are dropped by the fence (T6).
+
+``trigger(availableNow=True)`` drains the backlog and stops — the test/bench
+mode; a real deployment would run processingTime triggers against a live
+binlog/WAL drop zone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cdc.generator import feed_schema
+from ..lake import LakeTable
+from ..lake.merge import MergeMetrics, merge_cdc_batch
+
+
+@dataclass
+class CdcStreamRunner:
+    spark: SparkSession
+    table: LakeTable
+    feed_dir: str
+    checkpoint_dir: str
+    txn_app: str = "cdc-stream"
+    max_files_per_trigger: int = 1
+    salt_buckets: int = 0
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    metrics: list[MergeMetrics] = field(default_factory=list)
+    fail_after_batches: int | None = None  # test hook: crash mid-stream
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.fail_after_batches is not None and len(
+                [m for m in self.metrics if not m.skipped_fence]
+        ) >= self.fail_after_batches:
+            raise RuntimeError("injected failure (test hook)")
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        m = merge_cdc_batch(
+            self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
+            salt_buckets=self.salt_buckets,
+        )
+        self.metrics.append(m)
+
+    def run_available_now(self, timeout_sec: int = 600) -> list[MergeMetrics]:
+        """Drain all pending feed files in micro-batches, then stop."""
+        stream = (
+            self.spark.readStream.schema(feed_schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("latestFirst", "false")
+            .parquet(self.feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.metrics

@@ -1,0 +1,164 @@
+"""MERGE-apply semantics: LWW, deletes, delete-then-reinsert, duplicate-LSN
+redelivery, NULL keys, fence idempotence, schema evolution mid-stream,
+salted dedup equivalence, full replay sha256 match."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
+from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
+from etl_api_bigquery_spark.lake import LakeTable
+from etl_api_bigquery_spark.lake.merge import lww_dedup, merge_cdc_batch
+
+SILVER = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+EVT_SCHEMA = T.StructType([
+    T.StructField("lsn", T.LongType()),
+    T.StructField("epoch", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def evt(lsn, op, repo, path, content, epoch=0):
+    return (lsn, epoch, op, repo, path, f"c{lsn}", "py", content)
+
+
+def events_df(spark, rows):
+    return spark.createDataFrame(rows, schema=EVT_SCHEMA)
+
+
+def make_table(spark, d):
+    return LakeTable.create(spark, os.path.join(d, "silver"), SILVER,
+                            key_cols=["repo", "path"], num_buckets=4)
+
+
+def test_lww_within_batch(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    batch = events_df(spark, [
+        evt(1, "I", "r1", "a", "v1"),
+        evt(3, "U", "r1", "a", "v3"),
+        evt(2, "U", "r1", "a", "v2"),   # out of arrival order
+    ])
+    merge_cdc_batch(t, batch, batch_id=0, txn_app="x")
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "v3"
+
+
+def test_delete_wins_and_reinsert(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1"),
+                                         evt(2, "I", "r1", "b", "v1")]), 0, "x")
+    # delete-then-reinsert within one batch: max-lsn op decides
+    batch = events_df(spark, [
+        evt(3, "D", "r1", "a", None),
+        evt(4, "I", "r1", "a", "back"),
+        evt(5, "D", "r1", "b", None),
+    ])
+    merge_cdc_batch(t, batch, 1, "x")
+    rows = {r.path: r.content for r in t.read().collect()}
+    assert rows == {"a": "back"}
+
+
+def test_update_on_absent_key_inserts(spark, tmp_table_dir):
+    """Reference MERGE semantics: WHEN NOT MATCHED THEN INSERT regardless of
+    op being an update (loader.py:381-434)."""
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "U", "rX", "p", "vX")]), 0, "x")
+    assert t.read().count() == 1
+
+
+def test_duplicate_lsn_redelivery(spark, tmp_table_dir):
+    """Same events delivered twice (at-least-once source): idempotent result."""
+    t = make_table(spark, tmp_table_dir)
+    batch = events_df(spark, [evt(1, "I", "r1", "a", "v1"),
+                              evt(2, "U", "r1", "a", "v2")])
+    merge_cdc_batch(t, batch, 0, "x")
+    merge_cdc_batch(t, batch.union(batch), 1, "x")  # redelivered, new batch id
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "v2"
+
+
+def test_fence_skips_replayed_batch(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    b0 = events_df(spark, [evt(1, "I", "r1", "a", "v1")])
+    b1 = events_df(spark, [evt(2, "D", "r1", "a", None)])
+    m0 = merge_cdc_batch(t, b0, 0, "app")
+    m1 = merge_cdc_batch(t, b1, 1, "app")
+    assert not m0.skipped_fence and not m1.skipped_fence
+    # foreachBatch retry replays batch 0 after batch 1 already committed:
+    m = merge_cdc_batch(t, b0, 0, "app")
+    assert m.skipped_fence
+    assert t.read().count() == 0  # delete still in effect
+    assert t.last_txn("app") == 1
+
+
+def test_null_key_tolerated(spark, tmp_table_dir):
+    """NULL-keyed rows land in a stable bucket and upsert like any key
+    (reference repairs NULL-key legacy rows in MERGE, loader.py:517-519)."""
+    t = make_table(spark, tmp_table_dir)
+    b = events_df(spark, [(1, 0, "I", "r1", None, "c1", "py", "v1"),
+                          (2, 0, "U", "r1", None, "c2", "py", "v2")])
+    merge_cdc_batch(t, b, 0, "x")
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "v2" and rows[0].path is None
+
+
+def test_schema_evolution_mid_stream(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1")]), 0, "x")
+    evolved = (events_df(spark, [evt(2, "U", "r1", "b", "v2")])
+               .withColumn("size_bytes", F.lit(123).cast("int")))
+    m = merge_cdc_batch(t, evolved, 1, "x")
+    assert m.schema_evolved
+    df = t.read()
+    got = {r.path: r.size_bytes for r in df.collect()}
+    assert got == {"a": None, "b": 123}  # NULL backfill on pre-evolution rows
+
+    # widening: int -> long
+    wider = (events_df(spark, [evt(3, "U", "r1", "c", "v3")])
+             .withColumn("size_bytes", F.lit(2**40).cast("long")))
+    m = merge_cdc_batch(t, wider, 2, "x")
+    assert m.schema_evolved
+    assert dict(t.snapshot().schema["size_bytes"].jsonValue().items())["type"] == "long"
+    assert t.read().filter("size_bytes > 1000000000000").count() == 1
+    assert t.read().filter("size_bytes = 123").count() == 1  # upcast old files
+
+
+def test_salted_dedup_equivalence(spark):
+    feed = change_feed(spark, n_events=5000, n_keys=200, n_epochs=3)
+    a = lww_dedup(feed, ["repo", "path"], salt_buckets=0)
+    b = lww_dedup(feed, ["repo", "path"], salt_buckets=8)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_full_replay_sha256_match(spark, tmp_table_dir):
+    """The BASELINE.json invariant end-to-end at small scale."""
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=20000, n_keys=800, n_epochs=4).cache()
+    for e in range(4):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "replay",
+                        salt_buckets=4)
+    res = assert_replay_match(t.read(), expected_final_state(feed))
+    assert res["sha_mismatch"] == 0 and res["missing"] == 0 and res["extra"] == 0
+    feed.unpersist()
+
+
+def test_generator_deterministic(spark):
+    f1 = change_feed(spark, 3000, 100, seed=7)
+    f2 = change_feed(spark, 3000, 100, seed=7)
+    assert f1.exceptAll(f2).isEmpty()
+    f3 = change_feed(spark, 3000, 100, seed=8)
+    assert not f1.exceptAll(f3).isEmpty()

@@ -1,0 +1,78 @@
+"""Structured Streaming e2e: checkpointed micro-batch apply, crash mid-stream,
+restart resumes from checkpoint, fence drops the replayed batch, final state
+matches the batch oracle (SURVEY.md §7.3 minimum slice)."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
+from etl_api_bigquery_spark.cdc.generator import write_feed_as_epoch_files
+from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
+from etl_api_bigquery_spark.lake import LakeTable
+from etl_api_bigquery_spark.streaming import CdcStreamRunner
+
+SILVER = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+@pytest.fixture()
+def staged(spark, tmp_table_dir):
+    feed = change_feed(spark, n_events=12000, n_keys=500, n_epochs=6).cache()
+    feed_dir = os.path.join(tmp_table_dir, "feed")
+    write_feed_as_epoch_files(feed, feed_dir)
+    table = LakeTable.create(spark, os.path.join(tmp_table_dir, "silver"),
+                             SILVER, key_cols=["repo", "path"], num_buckets=8)
+    yield feed, feed_dir, table, os.path.join(tmp_table_dir, "ckpt")
+    feed.unpersist()
+
+
+def test_stream_drain_matches_oracle(spark, staged):
+    feed, feed_dir, table, ckpt = staged
+    r = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="s1")
+    metrics = r.run_available_now()
+    assert len([m for m in metrics if not m.skipped_fence]) == 6
+    assert_replay_match(table.read(), expected_final_state(feed))
+
+
+def test_crash_restart_exactly_once(spark, staged):
+    feed, feed_dir, table, ckpt = staged
+    # crash after 3 applied batches
+    r1 = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="s2",
+                         fail_after_batches=3)
+    with pytest.raises(Exception):
+        r1.run_available_now()
+    applied = [m for m in r1.metrics if not m.skipped_fence]
+    assert len(applied) == 3
+
+    # restart from the same checkpoint: source replays the failed batch;
+    # already-committed batches (if any replay) are dropped by the fence.
+    r2 = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="s2")
+    r2.run_available_now()
+    assert_replay_match(table.read(), expected_final_state(feed))
+    # no batch was applied twice
+    versions = [m.version for m in r1.metrics + r2.metrics if not m.skipped_fence]
+    assert len(versions) == len(set(versions))
+
+
+def test_restart_after_commit_before_checkpoint(spark, staged):
+    """The nasty window: data committed, then crash before the source offset
+    is checkpointed -> the batch is replayed with the same batch_id and the
+    fence must drop it (SURVEY.md §7.5 item 3)."""
+    feed, feed_dir, table, ckpt = staged
+    r1 = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="s3")
+    r1.run_available_now()
+    final_version = table.current_version()
+    # simulate the replay: re-apply the last batch_id manually
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    last_epoch = feed.filter("epoch = 5")
+    m = merge_cdc_batch(table, last_epoch, batch_id=5, txn_app="s3")
+    assert m.skipped_fence
+    assert table.current_version() == final_version
+    assert_replay_match(table.read(), expected_final_state(feed))
