@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC MERGE-apply end-to-end on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) over the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only for
+ops whose candidate generation is not SQL-expressible — LSH banding, engine
+internals — which the driver records as rows-only checks).
+
+Column-name / rounding discipline: every computed column is aliased
+identically on both sides; float aggregates are rounded in BOTH engines so
+summation-order ulp noise cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_api_bigquery_spark.cdc.oracle import expected_final_state  # noqa: E402
+from etl_api_bigquery_spark.functions.multimodal import (  # noqa: E402
+    extract_features, synthetic_media)
+from etl_api_bigquery_spark.functions.text import (  # noqa: E402
+    fingerprint, lang_id, quality_score, token_count, tokens)
+from etl_api_bigquery_spark.functions.transforms import safe_cast  # noqa: E402
+from etl_api_bigquery_spark.lake import LakeTable  # noqa: E402
+from etl_api_bigquery_spark.lake.merge import merge_cdc_batch  # noqa: E402
+from etl_api_bigquery_spark.operators.dedup import (  # noqa: E402
+    exact_dedup, minhash_lsh_candidates, ngram_jaccard, shingles,
+    simhash_candidates)
+from etl_api_bigquery_spark.operators.similarity import (  # noqa: E402
+    cosine, cosine_topk, lsh_topk)
+
+DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# CDC event derivation shared by the flagship query and its oracle: three
+# versioned images per document, deletes for doc_id % 7 == 0 at v2.
+# --------------------------------------------------------------------------
+
+def _cdc_events_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v")
+    ev = docs.select("doc_id", "text", "lang", "source", v)
+    is_del = (F.col("v") == 2) & (F.col("doc_id") % 7 == 0)
+    return ev.select(
+        (F.col("doc_id") * 3 + F.col("v")).alias("lsn"),
+        F.col("v").cast("long").alias("epoch"),
+        F.when(is_del, "D").when(F.col("v") == 0, "I").otherwise("U").alias("op"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.substring(F.sha2(F.concat_ws("|", "source", "doc_id", "v"), 256), 1, 40
+                    ).alias("commit"),
+        F.col("lang"),
+        F.when(is_del, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("v"))).alias("content"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 3 + F.col("v")
+                            ).alias("event_ts"),
+    )
+
+
+_CDC_EVENTS_SQL = """
+    SELECT doc_id * 3 + v AS lsn,
+           CASE WHEN v = 2 AND doc_id % 7 = 0 THEN 'D'
+                WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+           source AS repo,
+           'f' || CAST(doc_id AS VARCHAR) AS path,
+           lang,
+           CASE WHEN v = 2 AND doc_id % 7 = 0 THEN NULL
+                ELSE text || ' v' || CAST(v AS VARCHAR) END AS content
+    FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS vv(v)
+"""
+
+_SILVER_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def _run_cdc_engine(spark: SparkSession, sf_dir: str,
+                    num_buckets: int = 8) -> DataFrame:
+    """Run the REAL engine (LakeTable + merge_cdc_batch, one micro-batch per
+    epoch) on the derived feed and return the final silver state."""
+    events = _cdc_events_from_documents(spark, sf_dir).cache()
+    loc = tempfile.mkdtemp(prefix="cdc_entry_", dir="/tmp")
+    shutil.rmtree(loc, ignore_errors=True)
+    table = LakeTable.create(spark, loc, _SILVER_SCHEMA,
+                             key_cols=["repo", "path"], num_buckets=num_buckets)
+    for epoch in range(3):
+        merge_cdc_batch(table, events.filter(F.col("epoch") == epoch),
+                        batch_id=epoch, txn_app="entry", salt_buckets=4)
+    events.unpersist()
+    final = table.read()
+    return final.select(
+        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
+
+
+# --------------------------------------------------------------------------
+# token helpers mirrored exactly in the DuckDB oracle strings
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9'']+'), "
+             "x -> x <> '')")
+
+_STOP_EN = "['the','and','of','to','in','is','that','it','for','was']"
+_STOP_DE = "['der','die','und','das','ist','nicht','ein','mit','auf','zu']"
+_STOP_FR = "['le','la','les','et','est','des','une','dans','que','pour']"
+_STOP_ES = "['el','la','los','de','que','y','en','un','por','con']"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- CDC core (SURVEY §2.4/§2.6: M1/M2/W1/J4/T4) ----------
+    def cdc_merge_apply(spark, sf):
+        return _run_cdc_engine(spark, sf)
+    q["cdc_merge_apply"] = cdc_merge_apply
+
+    def cdc_lww_replay_oracle_op(spark, sf):
+        # the operator-level LWW collapse (no engine) — W1
+        ev = _cdc_events_from_documents(spark, sf)
+        fin = expected_final_state(ev)
+        return fin.groupBy("repo").agg(
+            F.count("*").alias("n_files"),
+            F.count_distinct("lang").alias("n_langs"))
+    q["cdc_lww_collapse"] = cdc_lww_replay_oracle_op
+
+    def lww_latest_event_per_user(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+                .select("user_id", "event_id", "event_type",
+                        F.round("value", 4).alias("value_r")))
+    q["lww_latest_event_per_user"] = lww_latest_event_per_user
+
+    def dedup_remove_duplicates(spark, sf):
+        # J4: keep max-ts row per (user_id, event_type), count survivors
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        kept = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        return kept.groupBy("event_type").agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("value"), 2).alias("sum_value"))
+    q["dedup_remove_duplicates"] = dedup_remove_duplicates
+
+    # ---------------- sources/sinks-shaped (§2.1) + watermark (§2.10) ------
+    def watermark_by_entity(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                          ).alias("last_extracted_at"),
+            F.count("*").alias("records_count"))
+    q["watermark_by_entity"] = watermark_by_entity
+
+    def distinct_partition_days(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (ev.select(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                          .alias("day")).distinct())
+    q["distinct_partition_days"] = distinct_partition_days
+
+    def partition_set_difference(spark, sf):
+        ev = _t(spark, sf, "events")
+        orders = _t(spark, sf, "orders")
+        a = ev.select(F.to_date("ts").alias("d")).distinct()
+        b = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+        return a.join(b, "d", "left_anti").select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"))
+    q["partition_set_difference"] = partition_set_difference
+
+    # ---------------- transforms (§2.2) ------------------------------------
+    def json_extract_safe_cast(spark, sf):
+        # P10 raw-json + P6 safe cast: two-digit k values parse, others NULL
+        ev = _t(spark, sf, "events")
+        two = F.regexp_extract(F.col("props"), r'"k": ([0-9][0-9])\}', 1)
+        anyk = safe_cast(F.regexp_extract(F.col("props"), r"[0-9]+", 0), "int")
+        return ev.select(
+            "event_id",
+            safe_cast(two, "int").alias("k2"),
+            anyk.alias("k"),
+        ).groupBy((F.col("k") % 10).alias("k_mod")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k2").isNull().cast("int")).alias("n_unparsed"),
+            F.sum("k").alias("sum_k"))
+    q["json_extract_safe_cast"] = json_extract_safe_cast
+
+    def widen_and_project(spark, sf):
+        # P7 forced widening int->double + P1-style projection
+        li = _t(spark, sf, "lineitem")
+        return (li.select("l_returnflag",
+                          F.col("l_linenumber").cast("double").alias("ln_d"),
+                          F.col("l_quantity"))
+                .groupBy("l_returnflag")
+                .agg(F.round(F.sum("ln_d"), 1).alias("sum_ln_wide"),
+                     F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+    q["widen_and_project"] = widen_and_project
+
+    def schema_null_pad(spark, sf):
+        # P12: missing schema columns added as typed NULLs
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id", "lang",
+            F.lit(None).cast("string").alias("extraction_note"),
+            F.lit(None).cast("double").alias("score_backfill"))
+    q["schema_null_pad"] = schema_null_pad
+
+    def explode_tokens(spark, sf):
+        # P3 array explode with positional index fallback id
+        docs = _t(spark, sf, "documents").filter("doc_id < 50")
+        tok = docs.select("doc_id", F.posexplode(tokens("text"))
+                          .alias("pos", "token"))
+        return tok.select("doc_id", F.col("pos").cast("long").alias("pos"),
+                          "token")
+    q["explode_tokens"] = explode_tokens
+
+    def tumbling_daily_window(spark, sf):
+        # T3 tumbling event-time windows (daily) + P4 date semantics
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                           .alias("day"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))
+    q["tumbling_daily_window"] = tumbling_daily_window
+
+    # ---------------- joins (§2.3) -----------------------------------------
+    def broadcast_lookup_join(spark, sf):
+        # J1: small dim broadcast into fact scan
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        return j.groupBy("p_brand").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_lines"))
+    q["broadcast_lookup_join"] = broadcast_lookup_join
+
+    def anti_join_customers_no_orders(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                .select("c_custkey", "c_name"))
+    q["anti_join_customers_no_orders"] = anti_join_customers_no_orders
+
+    def semi_join_parts_sold(spark, sf):
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+                .filter("p_size > 40").select("p_partkey", "p_name", "p_size"))
+    q["semi_join_parts_sold"] = semi_join_parts_sold
+
+    # ---------------- aggregates (§2.5) ------------------------------------
+    def dup_detection_having(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (o.groupBy("o_custkey").agg(F.count("*").alias("dup_count"))
+                .filter("dup_count > 1"))
+    q["dup_detection_having"] = dup_detection_having
+
+    def ordered_event_journey(spark, sf):
+        # A2: ordered ARRAY_AGG -> deterministic string
+        ev = _t(spark, sf, "events").filter("user_id < 40")
+        arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+        return (ev.groupBy("user_id")
+                .agg(F.array_join(F.transform(arr, lambda s: s["event_type"]), ",")
+                     .alias("journey")))
+    q["ordered_event_journey"] = ordered_event_journey
+
+    def quality_report_documents(spark, sf):
+        # A6: one-pass null/dup rates + score
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.count("*").alias("total_rows"),
+            F.round(F.avg(F.col("lang").isNull().cast("int")), 4).alias("null_rate_lang"),
+            F.round(F.avg(F.col("text").isNull().cast("int")), 4).alias("null_rate_text"),
+            F.round((F.count("*") - F.count_distinct("text")) /
+                    F.count("*"), 4).alias("dup_rate_text"))
+    q["quality_report_documents"] = quality_report_documents
+
+    def gold_daily_revenue(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (o.groupBy(F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
+                          .alias("day"))
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                     F.count("*").alias("n_orders")))
+    q["gold_daily_revenue"] = gold_daily_revenue
+
+    def gold_customer_ltv(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        agg = o.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("ltv"),
+            F.count("*").alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"))
+        return (agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+                .select(F.col("c_custkey").alias("custkey"), "c_name", "ltv",
+                        "n_orders", "first_day", "last_day"))
+    q["gold_customer_ltv"] = gold_customer_ltv
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order")))
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_open_orders(spark, sf):
+        o = _t(spark, sf, "orders").filter("o_orderstatus = 'O'")
+        li = _t(spark, sf, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        rev = j.groupBy("o_orderkey").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"))
+        return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    q["q3_top_open_orders"] = q3_top_open_orders
+
+    # ---------------- text analysis / training-data ops --------------------
+    def token_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.length("text").alias("n_chars_calc"),
+            fingerprint("text").alias("doc_fingerprint"))
+    q["token_stats"] = token_stats
+
+    def lang_id_documents(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", F.col("lang").alias("lang_declared"),
+                        lang_id("text").alias("lang_guess"))
+    q["lang_id_documents"] = lang_id_documents
+
+    def quality_score_documents(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", quality_score("text").alias("score"))
+    q["quality_score_documents"] = quality_score_documents
+
+    def exact_dedup_union(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        shifted = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        kept = exact_dedup(d.unionByName(shifted), "text", "doc_id")
+        return kept.select("doc_id")
+    q["exact_dedup_union"] = exact_dedup_union
+
+    def unigram_jaccard_pairs(spark, sf):
+        d = _t(spark, sf, "documents").filter("doc_id < 120")
+        s = d.select("doc_id", shingles("text", 1).alias("sh"))
+        a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (pairs.withColumn(
+            "jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+            .filter("jaccard >= 0.6").select("id_a", "id_b", "jaccard"))
+    q["unigram_jaccard_pairs"] = unigram_jaccard_pairs
+
+    def cosine_topk_exact(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        res = cosine_topk(emb, emb.filter("vec_id < 5"), k=3)
+        return res.select("q_id", "neighbor_id", "rk",
+                          F.round("cos", 4).alias("cos_r")).drop("cos")
+    q["cosine_topk_exact"] = cosine_topk_exact
+
+    # ---------------- rows-only ops (no SQL-expressible oracle) ------------
+    def minhash_lsh_pairs(spark, sf):
+        d = _t(spark, sf, "documents").filter("doc_id < 150")
+        return minhash_lsh_candidates(d, "doc_id", "text",
+                                      num_hashes=32, bands=8, min_jaccard=0.5)
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    def simhash_near_dups(spark, sf):
+        d = _t(spark, sf, "documents").filter("doc_id < 150")
+        return simhash_candidates(d, "doc_id", "text", bits=32, bands=4,
+                                  max_hamming=6)
+    q["simhash_near_dups"] = simhash_near_dups
+
+    def ann_lsh_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8)
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def multimodal_features(spark, sf):
+        media = synthetic_media(spark, n=60)
+        return extract_features(media).select("asset_id", "kind", "n_bytes",
+                                              "sha256")
+    q["multimodal_features"] = multimodal_features
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks = _TOKS_SQL.format(c="text")
+    o: dict[str, str] = {}
+
+    o["cdc_merge_apply"] = f"""
+        WITH ev AS ({_CDC_EVENTS_SQL}),
+        w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                           ORDER BY lsn DESC) AS rn FROM ev)
+        SELECT repo, path, lang, sha256(content) AS content_sha
+        FROM w WHERE rn = 1 AND op <> 'D'
     """
-    return {}
+
+    o["cdc_lww_collapse"] = f"""
+        WITH ev AS ({_CDC_EVENTS_SQL}),
+        w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                           ORDER BY lsn DESC) AS rn FROM ev)
+        SELECT repo, COUNT(*) AS n_files,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM w WHERE rn = 1 AND op <> 'D' GROUP BY repo
+    """
+
+    o["lww_latest_event_per_user"] = """
+        WITH w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        SELECT user_id, event_id, event_type, ROUND(value, 4) AS value_r
+        FROM w WHERE rn = 1
+    """
+
+    o["dedup_remove_duplicates"] = """
+        WITH w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        SELECT event_type, COUNT(*) AS n_kept,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM w WHERE rn = 1 GROUP BY event_type
+    """
+
+    o["watermark_by_entity"] = """
+        SELECT event_type,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_extracted_at,
+               COUNT(*) AS records_count
+        FROM events GROUP BY event_type
+    """
+
+    o["distinct_partition_days"] = """
+        SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+    """
+
+    o["partition_set_difference"] = """
+        SELECT strftime(d, '%Y-%m-%d') AS day FROM (
+          SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+          EXCEPT
+          SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """
+
+    o["json_extract_safe_cast"] = """
+        WITH x AS (
+          SELECT event_id,
+                 TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9][0-9])}', 1), '')
+                          AS INT) AS k2,
+                 TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k
+          FROM events)
+        SELECT k % 10 AS k_mod, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unparsed,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM x GROUP BY k % 10
+    """
+
+    o["widen_and_project"] = """
+        SELECT l_returnflag,
+               ROUND(SUM(CAST(l_linenumber AS DOUBLE)), 1) AS sum_ln_wide,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["schema_null_pad"] = """
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS extraction_note,
+               CAST(NULL AS DOUBLE) AS score_backfill
+        FROM documents
+    """
+
+    o["explode_tokens"] = f"""
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, d.t[u.i] AS token
+        FROM (SELECT doc_id, {toks} AS t FROM documents WHERE doc_id < 50) d,
+             UNNEST(range(1, len(d.t) + 1)) AS u(i)
+    """
+
+    o["tumbling_daily_window"] = """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["broadcast_lookup_join"] = """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+
+    o["anti_join_customers_no_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["semi_join_parts_sold"] = """
+        SELECT p_partkey, p_name, p_size FROM part
+        WHERE p_size > 40
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """
+
+    o["dup_detection_having"] = """
+        SELECT o_custkey, COUNT(*) AS dup_count FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) > 1
+    """
+
+    o["ordered_event_journey"] = """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+        FROM events WHERE user_id < 40 GROUP BY user_id
+    """
+
+    o["quality_report_documents"] = """
+        SELECT COUNT(*) AS total_rows,
+               ROUND(AVG(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 4)
+                   AS null_rate_lang,
+               ROUND(AVG(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 4)
+                   AS null_rate_text,
+               ROUND((COUNT(*) - COUNT(DISTINCT text)) * 1.0 / COUNT(*), 4)
+                   AS dup_rate_text
+        FROM documents
+    """
+
+    o["gold_daily_revenue"] = """
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """
+
+    o["gold_customer_ltv"] = """
+        SELECT c_custkey AS custkey, c_name,
+               ROUND(SUM(o_totalprice), 2) AS ltv,
+               COUNT(*) AS n_orders,
+               strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,
+               strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_day
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    """
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["q3_top_open_orders"] = """
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """
+
+    o["token_stats"] = f"""
+        SELECT doc_id, CAST(len({toks}) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_calc,
+               sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS doc_fingerprint
+        FROM documents
+    """
+
+    o["lang_id_documents"] = f"""
+        WITH t AS (SELECT doc_id, lang AS lang_declared, {toks} AS tk
+                   FROM documents),
+        h AS (SELECT doc_id, lang_declared,
+               len(list_filter(tk, x -> list_contains({_STOP_EN}, x))) AS h_en,
+               len(list_filter(tk, x -> list_contains({_STOP_DE}, x))) AS h_de,
+               len(list_filter(tk, x -> list_contains({_STOP_FR}, x))) AS h_fr,
+               len(list_filter(tk, x -> list_contains({_STOP_ES}, x))) AS h_es
+              FROM t)
+        SELECT doc_id, lang_declared,
+               CASE WHEN h_es > GREATEST(h_en, h_de, h_fr) THEN 'es'
+                    WHEN h_fr > GREATEST(h_en, h_de) THEN 'fr'
+                    WHEN h_de > h_en THEN 'de'
+                    WHEN h_en > 0 THEN 'en'
+                    ELSE 'und' END AS lang_guess
+        FROM h
+    """
+
+    o["quality_score_documents"] = f"""
+        WITH t AS (SELECT doc_id, text, {toks} AS tk FROM documents),
+        m AS (SELECT doc_id, text, tk,
+               CASE WHEN length(text) >= 100 THEN 1.0
+                    ELSE length(text) / 100.0 END AS len_ok,
+               CASE WHEN len(tk) > 0 THEN
+                 CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                   / len(tk) ELSE 0.0 END AS mtl,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+               CASE WHEN len(tk) > 0 THEN
+                 CAST(len(list_filter(tk, x -> list_contains({_STOP_EN}, x)))
+                      AS DOUBLE) / len(tk) ELSE 0.0 END AS swr
+              FROM t)
+        SELECT doc_id, ROUND((len_ok
+               + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.4 END)
+               + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.3 END)
+               + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 4)
+            AS score
+        FROM m
+    """
+
+    o["exact_dedup_union"] = """
+        WITH u AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        SELECT MIN(doc_id) AS doc_id FROM u GROUP BY sha256(text)
+    """
+
+    o["unigram_jaccard_pairs"] = f"""
+        WITH s AS (SELECT doc_id, list_distinct({toks}) AS sh
+                   FROM documents WHERE doc_id < 120)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    """
+
+    # manual cosine with the exact same fold order as the Spark expression
+    o["cosine_topk_exact"] = """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                     list_sum(list_transform(range(1, len(q.e) + 1),
+                              i -> q.e[i] * n.e[i])) AS dt,
+                     sqrt(list_sum(list_transform(q.e, x -> x * x))) AS nq,
+                     sqrt(list_sum(list_transform(n.e, x -> x * x))) AS nn
+              FROM v q JOIN v n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+        s AS (SELECT q_id, n_id,
+                     CASE WHEN nq * nn > 0 THEN dt / (nq * nn) ELSE 0.0 END AS cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY CASE WHEN nq * nn > 0 THEN dt / (nq * nn)
+                                       ELSE 0.0 END DESC, n_id) AS rk
+              FROM p)
+        SELECT q_id, n_id AS neighbor_id, CAST(rk AS INT) AS rk,
+               ROUND(cos, 4) AS cos_r
+        FROM s WHERE rk <= 3
+    """
+
+    return o
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full CDC MERGE-apply engine replaying a 3-epoch derived
+    change feed on sf0.001 and returning the final silver state."""
+    return _run_cdc_engine(spark, DEFAULT_SF)

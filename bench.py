@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: sustained CDC MERGE-apply throughput (events/sec) — a
+deterministic change feed (scaled to the SF) is staged as parquet epoch files
+(untimed), then streamed through the full engine (Structured Streaming file
+source -> foreachBatch -> LakeTable MERGE with fence + lineage) and timed.
+Afterwards the final state is verified against the batch replay oracle
+(sha256 match) so a fast-but-wrong run cannot score.
+
+Also times the headline analytical queries from __spark_entry__ at the same
+SF (forced with a noop sink so the full plan executes).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "broadcast_lookup_join",
+    "q3_top_open_orders",
+    "lww_latest_event_per_user",
+    "gold_customer_ltv",
+    "token_stats",
+    "minhash_lsh_pairs",
+    "cosine_topk_exact",
+    "cdc_merge_apply",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entrymod
+    from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
+    from etl_api_bigquery_spark.cdc.generator import write_feed_as_epoch_files
+    from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.session import get_spark
+    from etl_api_bigquery_spark.streaming import CdcStreamRunner
+
+    sf = sf_from_dir(SF_DIR)
+    spark = get_spark(app_name=f"bench-sf{sf}", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- CDC replay sizing: 10M events/sf-unit => 1M at sf0.1
+    n_events = max(50_000, int(10_000_000 * sf))
+    n_keys = max(5_000, n_events // 10)
+    n_epochs = 10
+    work = f"/tmp/bench_cdc_{sf}_{CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    feed_dir, table_dir, ckpt = (f"{work}/feed", f"{work}/silver", f"{work}/ckpt")
+
+    feed = change_feed(spark, n_events=n_events, n_keys=n_keys,
+                       n_epochs=n_epochs)
+    write_feed_as_epoch_files(feed, feed_dir)  # staging, untimed
+
+    silver_schema = T.StructType([
+        T.StructField(c, T.StringType()) for c in
+        ("repo", "path", "commit", "lang", "content")])
+    table = LakeTable.create(spark, table_dir, silver_schema,
+                             key_cols=["repo", "path"],
+                             num_buckets=max(32, CPUS * 2))
+
+    runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
+                             salt_buckets=8)
+    t0 = time.monotonic()
+    runner.run_available_now(timeout_sec=3600)
+    replay_sec = time.monotonic() - t0
+    events_per_sec = n_events / replay_sec
+
+    # correctness gate on the benched result (untimed)
+    match = assert_replay_match(table.read(), expected_final_state(
+        spark.read.parquet(feed_dir)))
+
+    # ---- headline queries
+    qmap = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qmap[name](spark, SF_DIR)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "cdc_merge_apply_replay",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "events_per_sec": round(events_per_sec, 1),
+        "n_events": n_events,
+        "n_epochs": n_epochs,
+        "cpus": CPUS,
+        "replay_rows_matched": match["total"],
+        "queries": qtimes,
+        "sf": sf,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

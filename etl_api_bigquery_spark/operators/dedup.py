@@ -147,9 +147,8 @@ def simhash_bits(col: Column | str, bits: int = 64) -> Column:
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.when(
-                    F.shiftright(F.xxhash64(t), j.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1)),
+                lambda j: F.when(F.bit_get(F.xxhash64(t), j) == 1,
+                                 F.lit(1)).otherwise(F.lit(-1)),
             ),
             lambda a, b: a + b,
         ),

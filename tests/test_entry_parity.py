@@ -1,0 +1,83 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables at
+sf0.001, and compare row multisets (order-insensitive) + column names.
+Rows-only entries (no oracle) are just executed and must return a stable
+schema and >= 0 rows."""
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = list(sdf.columns)
+    assert len(srows) >= 0  # executes with stable schema
+    if name not in ORACLES:
+        return  # rows-only check (driver records weaker gate)
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}")
+    a, b = _canon_rows(scols, [tuple(r) for r in srows]), _canon_rows(dcols, drows)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: first mismatches: " + "; ".join(
+        f"spark={a[i]} oracle={b[i]}" for i in mism)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"repo", "path", "lang", "content_sha"}
