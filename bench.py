@@ -86,7 +86,8 @@ def main() -> None:
                              num_buckets=max(32, CPUS * 2))
 
     runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
-                             salt_buckets=8)
+                             salt_buckets=8, mode="mor",
+                             auto_compact_deltas=8)
     t0 = time.monotonic()
     runner.run_available_now(timeout_sec=3600)
     replay_sec = time.monotonic() - t0
@@ -100,8 +101,10 @@ def main() -> None:
     qmap = entrymod.queries()
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qmap[name](spark, SF_DIR)
+        # time construction + execution: some queries (the CDC flagship) do
+        # eager engine work while building the DataFrame
         t0 = time.monotonic()
+        df = qmap[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
 

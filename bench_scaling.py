@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox form).
+
+Runs bench.py as subprocesses at local[8] and local[32] on the SAME input and
+reports throughput at both plus scaling efficiency:
+
+    eff = (thr_32 / thr_8) / (32 / 8)
+
+Writes BENCH/BASELINE.md. A real cluster would use spark-submit --py-files
+with N vs 4N executors; local[N] thread parallelism is the sandbox stand-in
+the driver instructions mandate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = [8, 32]
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, timeout=3600)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    results = {c: run_level(c) for c in LEVELS}
+    lo, hi = LEVELS
+    thr_lo = results[lo]["events_per_sec"]
+    thr_hi = results[hi]["events_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — scaling evidence (N vs 4N parallelism)",
+        "",
+        f"Same job, same input (`{SF_DIR}`), two parallelism levels — the",
+        "sandbox form of BASELINE.json's two-cluster-size rule.",
+        "",
+        "| parallelism | replay sec | events/sec | queries (sum sec) |",
+        "|---|---|---|---|",
+    ]
+    for c in LEVELS:
+        r = results[c]
+        qsum = round(sum(r["queries"].values()), 2)
+        lines.append(f"| local[{c}] | {r['value']} | {r['events_per_sec']} | {qsum} |")
+    lines += [
+        "",
+        f"**Scaling efficiency local[{lo}] → local[{hi}] "
+        f"(factor {hi // lo}×): {eff:.3f}**"
+        f" (target ≥ 0.8 per BASELINE.json; note local-mode thread scaling is"
+        f" bounded by the shared JVM, shared page cache, and per-micro-batch"
+        f" fixed costs — a real 4× executor scale-out has none of those"
+        f" shared-driver ceilings).",
+        "",
+        "Raw results:",
+        "```json",
+        json.dumps({f"local[{c}]": results[c] for c in LEVELS}, indent=2),
+        "```",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"efficiency": round(eff, 3),
+                      "thr": {c: results[c]["events_per_sec"] for c in LEVELS},
+                      "written": path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .table import BUCKET_COL, LakeTable, widen_type
+from .table import BUCKET_COL, LSN_COL, OP_COL, LakeTable, widen_type
 
 # CDC envelope columns that never land in the silver table.
 ENVELOPE_COLS = ("lsn", "epoch", "op", "event_ts")
@@ -150,12 +150,25 @@ def merge_cdc_batch(
     salt_buckets: int = 0,
     allow_schema_evolution: bool = True,
     extra_props: dict[str, Any] | None = None,
+    mode: str = "cow",
+    auto_compact_deltas: int = 16,
 ) -> MergeMetrics:
     """Apply one micro-batch of CDC envelopes to the table, exactly once.
 
     Envelope rows: key columns + payload columns + (lsn, op[, epoch, event_ts]).
     op semantics: I/U upsert (U on an absent key inserts — same as the
     reference MERGE), D deletes. LWW by lsn.
+
+    Write strategies (both yield identical read results):
+
+    * ``mode="cow"`` — copy-on-write: rewrite the touched buckets' files with
+      survivors ∪ upserts. Best read performance; write cost O(touched data).
+    * ``mode="mor"`` — merge-on-read: append LWW-resolvable delta files,
+      O(batch) write cost regardless of table size; reads resolve max-LSN per
+      key and drop tombstones; compaction auto-triggers when any touched
+      bucket accumulates ``auto_compact_deltas`` delta files. This is the
+      high-throughput CDC-ingest path (the Hudi/Paimon-style tradeoff) —
+      at 10^10 events/day the per-batch rewrite of COW is unaffordable.
     """
     t0 = time.monotonic()
     m = MergeMetrics(batch_id=batch_id)
@@ -198,39 +211,61 @@ def merge_cdc_batch(
         mean_k = m.keys / len(buckets)
         m.skew_factor = round(max(int(r["k"]) for r in bstats) / mean_k, 3) if mean_k else 0.0
 
-        # ---- 2. bucket-pruned target read (manifest-level skipping)
-        target_files = snap.files_for_buckets(buckets)
-        m.target_rows_read = sum(e.rows for e in target_files)
-        target = table.read(buckets=buckets, with_bucket=True)
-
-        # ---- 3. survivors ∪ upserts
-        batch_keys = winners.select(*key_cols)
-        survivors = target.join(F.broadcast(batch_keys), on=key_cols, how="left_anti")
-        fields = list(snap.schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
-        data_cols = [f.name for f in fields]
-        upserts = (
-            winners.filter(F.col(op_col) != OP_DELETE)
-            .select(*[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in winners.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in fields
-            ])
-        )
-        merged = survivors.select(*data_cols).unionByName(upserts)
-
-        # ---- 4. atomic commit with fence + lineage in properties
         props: dict[str, Any] = dict(extra_props or {})
         props["lineage"] = {
             "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
             "upserts": m.upserts, "buckets_touched": m.buckets_touched,
-            "target_rows_read": m.target_rows_read, "skew_factor": m.skew_factor,
+            "skew_factor": m.skew_factor, "mode": mode,
         }
         if txn_app is not None:
             props["txn_app"] = txn_app
             props["txn_batch"] = batch_id
-        m.version = table.commit_rewrite(
-            merged, target_files, "merge", snap.schema, snap.schema_id, props)
+
+        payload = lambda f: (  # noqa: E731
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in winners.columns
+            else F.lit(None).cast(f.dataType).alias(f.name))
+
+        if mode == "mor":
+            # ---- merge-on-read: append delta files only (no target read)
+            delta = winners.select(
+                *[payload(f) for f in snap.schema.fields],
+                F.col(BUCKET_COL),
+                F.col(lsn_col).cast("long").alias(LSN_COL),
+                F.col(op_col).alias(OP_COL))
+            props["lineage"]["target_rows_read"] = 0
+            m.version = table.append_deltas(delta, properties=props)
+            # amortized compaction keeps read amplification bounded
+            counts = table.delta_file_counts()
+            hot = [b for b in buckets if counts.get(b, 0) >= auto_compact_deltas]
+            if hot:
+                table.compact_deltas(buckets=hot,
+                                     properties={"auto_compact_for_batch": batch_id})
+        else:
+            # ---- copy-on-write: bucket-pruned target read (manifest skipping)
+            target_files = snap.files_for_buckets(buckets)
+            m.target_rows_read = sum(e.rows for e in target_files)
+            props["lineage"]["target_rows_read"] = m.target_rows_read
+            target = table.read(buckets=buckets, with_bucket=True)
+
+            # survivors ∪ upserts (batch keys broadcast — target never
+            # shuffles for the probe)
+            batch_keys = winners.select(*key_cols)
+            survivors = target.join(F.broadcast(batch_keys), on=key_cols,
+                                    how="left_anti")
+            fields = (list(snap.schema.fields)
+                      + [T.StructField(BUCKET_COL, T.IntegerType()),
+                         T.StructField(LSN_COL, T.LongType())])
+            data_cols = [f.name for f in fields]
+            upserts = (
+                winners.filter(F.col(op_col) != OP_DELETE)
+                .withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+                .select(*[payload(f) if f.name not in (BUCKET_COL, LSN_COL)
+                          else F.col(f.name) for f in fields])
+            )
+            merged = survivors.select(*data_cols).unionByName(upserts)
+            m.version = table.commit_rewrite(
+                merged, target_files, "merge", snap.schema, snap.schema_id, props)
     finally:
         winners.unpersist()
 

@@ -57,7 +57,9 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
 # Columns the engine manages; not part of the user-visible schema.
-BUCKET_COL = "_bucket"
+BUCKET_COL = "_bucket"   # bucket id: pmod(xxhash64(keys), num_buckets)
+LSN_COL = "_lsn"         # last-writer LSN of the row (0 for plain appends)
+OP_COL = "_op"           # delta files only: I/U/D envelope op
 
 # int -> long -> double widening lattice (reference "Critical: always float64,
 # never int64", src/shared/parquet/schemas.py:30-34).
@@ -78,17 +80,19 @@ class FileEntry:
     bytes: int
     schema_id: int
     stats: dict[str, list[Any]] = field(default_factory=dict)  # col -> [min, max, nulls]
+    kind: str = "base"             # "base" | "delta" (merge-on-read change file)
 
     def to_json(self) -> dict[str, Any]:
         return {
             "path": self.path, "bucket": self.bucket, "rows": self.rows,
             "bytes": self.bytes, "schema_id": self.schema_id, "stats": self.stats,
+            "kind": self.kind,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
         return FileEntry(d["path"], d["bucket"], d["rows"], d["bytes"],
-                         d["schema_id"], d.get("stats", {}))
+                         d["schema_id"], d.get("stats", {}), d.get("kind", "base"))
 
 
 @dataclass
@@ -112,8 +116,12 @@ class Snapshot:
         return [f for f in self.files.values() if f.bucket in bs]
 
 
-def _schema_with_bucket(schema: T.StructType) -> T.StructType:
-    return T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())])
+def _schema_with_engine_cols(schema: T.StructType, kind: str = "base") -> T.StructType:
+    extra = [T.StructField(BUCKET_COL, T.IntegerType()),
+             T.StructField(LSN_COL, T.LongType())]
+    if kind == "delta":
+        extra.append(T.StructField(OP_COL, T.StringType()))
+    return T.StructType(list(schema.fields) + extra)
 
 
 class LakeTable:
@@ -123,6 +131,7 @@ class LakeTable:
         self.spark = spark
         self.location = os.path.abspath(location)
         self._snap_cache: dict[int, Snapshot] = {}
+        self._doc_cache: dict[int, dict[str, Any]] = {}  # commit log JSON docs
 
     # ------------------------------------------------------------------ DDL
 
@@ -236,8 +245,7 @@ class LakeTable:
         for cv in vs:
             if cv > v:
                 break
-            with open(self._log_path(cv)) as fh:
-                doc = json.load(fh)
+            doc = self._read_doc(cv)
             schema = T.StructType.fromJson(doc["schema"])
             schema_id = doc["schema_id"]
             schemas[schema_id] = schema
@@ -253,11 +261,18 @@ class LakeTable:
         self._snap_cache[v] = snap
         return snap
 
+    def _read_doc(self, version: int) -> dict[str, Any]:
+        """Commit log docs are immutable once written — cache them so the
+        per-batch fence check is O(new commits), not O(log size)."""
+        if version not in self._doc_cache:
+            with open(self._log_path(version)) as fh:
+                self._doc_cache[version] = json.load(fh)
+        return self._doc_cache[version]
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for cv in self._commit_versions():
-            with open(self._log_path(cv)) as fh:
-                doc = json.load(fh)
+            doc = self._read_doc(cv)
             out.append({k: doc[k] for k in
                         ("version", "action", "schema_id", "properties", "commit_ts_ms")})
         return out
@@ -295,6 +310,29 @@ class LakeTable:
 
     # ----------------------------------------------------------------- reads
 
+    def _read_entries(self, snap: Snapshot, entries: list[FileEntry],
+                      kind: str) -> DataFrame:
+        """Read one kind of files, grouped by schema_id so old files are read
+        with the schema they were written with, then cast/padded to the
+        current one (safe widening reads)."""
+        cur_schema = _schema_with_engine_cols(snap.schema, kind)
+        sel = [e for e in entries if e.kind == kind]
+        if not sel:
+            return self.spark.createDataFrame([], cur_schema)
+        by_sid: dict[int, list[str]] = {}
+        for e in sel:
+            by_sid.setdefault(e.schema_id, []).append(
+                os.path.join(self.location, e.path))
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_sid.items()):
+            written = _schema_with_engine_cols(snap.schemas[sid], kind)
+            part = self.spark.read.schema(written).parquet(*paths)
+            parts.append(_conform(part, cur_schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def read(
         self,
         version: int | None = None,
@@ -302,28 +340,39 @@ class LakeTable:
         with_bucket: bool = False,
     ) -> DataFrame:
         """Snapshot read. ``buckets`` prunes to the given bucket ids using the
-        manifest (no file even opened for pruned buckets)."""
+        manifest (no file even opened for pruned buckets).
+
+        Merge-on-read resolution: if the selected snapshot contains delta
+        files (written by ``merge_cdc_batch(mode="mor")``), base and delta
+        rows are unioned and collapsed per key to the max-LSN row, dropping
+        delete tombstones — the same LWW rule the COW merge applies at write
+        time. Compaction (:meth:`compact_deltas`) bounds the number of deltas
+        so read amplification stays O(1) per bucket."""
         snap = self.snapshot(version)
         entries = snap.files_for_buckets(buckets)
-        cur_schema = _schema_with_bucket(snap.schema)
-        if not entries:
-            df = self.spark.createDataFrame([], cur_schema)
+        base = self._read_entries(snap, entries, "base")
+        has_delta = any(e.kind == "delta" for e in entries)
+        if not has_delta:
+            df = base
         else:
-            # Group by schema_id: old files are read with their written schema,
-            # then cast/padded to the current one (safe widening reads).
-            by_sid: dict[int, list[str]] = {}
-            for e in entries:
-                by_sid.setdefault(e.schema_id, []).append(
-                    os.path.join(self.location, e.path))
-            parts: list[DataFrame] = []
-            for sid, paths in sorted(by_sid.items()):
-                written = _schema_with_bucket(snap.schemas[sid])
-                part = self.spark.read.schema(written).parquet(*paths)
-                parts.append(_conform(part, cur_schema))
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
-        return df if with_bucket else df.drop(BUCKET_COL)
+            delta = self._read_entries(snap, entries, "delta")
+            df = self._resolve_lww(base.withColumn(OP_COL, F.lit("U"))
+                                   .unionByName(delta))
+        return df if with_bucket else df.drop(BUCKET_COL, LSN_COL)
+
+    def _resolve_lww(self, unioned: DataFrame) -> DataFrame:
+        """Collapse base+delta rows: max-LSN row per key wins; D tombstones
+        remove the key. NULL keys group via the same coalesce rule as
+        bucketing (they behave as one key, matching merge semantics)."""
+        from pyspark.sql import Window
+
+        keys = self.key_cols
+        w = Window.partitionBy(*[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys
+        ]).orderBy(F.col(LSN_COL).desc(), F.col(OP_COL).desc())
+        return (unioned.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "D"))
+                .drop("_rn", OP_COL))
 
     def is_empty(self) -> bool:
         return self.snapshot().num_rows == 0
@@ -332,7 +381,7 @@ class LakeTable:
 
     def _write_data_files(
         self, df: DataFrame, version: int, schema: T.StructType, schema_id: int,
-        repartition: bool = True,
+        repartition: bool = True, kind: str = "base",
     ) -> list[FileEntry]:
         """Write df (must already carry BUCKET_COL) as bucket-pure parquet files.
 
@@ -341,8 +390,10 @@ class LakeTable:
         no basePath reconstruction. Stats come from parquet footers only.
         """
         out = df
-        # conform column order/types to the table schema + bucket
-        target = _schema_with_bucket(schema)
+        if LSN_COL not in out.columns:
+            out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
+        # conform column order/types to the table schema + engine cols
+        target = _schema_with_engine_cols(schema, kind)
         out = _conform(out, target)
         if repartition:
             out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
@@ -350,9 +401,10 @@ class LakeTable:
         rel_dir = f"{_DATA_DIR}/c{version:010d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.location, rel_dir)
         out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
-        return self._harvest_entries(abs_dir, rel_dir, schema_id)
+        return self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
 
-    def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int) -> list[FileEntry]:
+    def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int,
+                         kind: str = "base") -> list[FileEntry]:
         import pyarrow.parquet as pq
 
         entries: list[FileEntry] = []
@@ -378,7 +430,7 @@ class LakeTable:
                     stats[name] = [mn, mx, nulls]
             rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
             entries.append(FileEntry(rel, bucket, md.num_rows,
-                                     os.path.getsize(fp), schema_id, stats))
+                                     os.path.getsize(fp), schema_id, stats, kind))
         return entries
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -456,6 +508,49 @@ class LakeTable:
         return self._write_commit(version, action, schema, schema_id, adds,
                                   [e.path for e in remove_entries],
                                   properties or {})
+
+    def append_deltas(self, df: DataFrame,
+                      properties: dict[str, Any] | None = None) -> int:
+        """Merge-on-read write path: append LWW-resolvable change files
+        (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
+        read, no rewrite; reads resolve via :meth:`_resolve_lww` and
+        :meth:`compact_deltas` folds deltas into base files."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
+                                      kind="delta")
+        return self._write_commit(version, "merge_mor", snap.schema,
+                                  snap.schema_id, adds, [], properties or {})
+
+    def delta_file_counts(self) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        for e in self.snapshot().files.values():
+            if e.kind == "delta":
+                counts[e.bucket] = counts.get(e.bucket, 0) + 1
+        return counts
+
+    def compact_deltas(self, max_delta_files: int = 8,
+                       buckets: Iterable[int] | None = None,
+                       properties: dict[str, Any] | None = None) -> int | None:
+        """Fold delta files into base files for buckets whose delta count
+        reached ``max_delta_files`` (or an explicit bucket list). Content
+        preserving: resolved LWW state is rewritten as base; tombstones
+        physically disappear. The MOR analogue of Iceberg rewrite_data_files /
+        Hudi compaction."""
+        snap = self.snapshot()
+        if buckets is None:
+            counts = self.delta_file_counts()
+            targets = [b for b, c in counts.items() if c >= max_delta_files]
+        else:
+            targets = list(buckets)
+        if not targets:
+            return None
+        victims = snap.files_for_buckets(targets)
+        resolved = self.read(buckets=targets, with_bucket=True)
+        props = dict(properties or {})
+        props["compacted_delta_buckets"] = sorted(targets)
+        return self.commit_rewrite(resolved, victims, "compact_deltas",
+                                   snap.schema, snap.schema_id, props)
 
     def evolve_schema(self, new_schema: T.StructType,
                       properties: dict[str, Any] | None = None) -> int:

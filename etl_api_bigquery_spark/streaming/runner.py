@@ -38,6 +38,8 @@ class CdcStreamRunner:
     txn_app: str = "cdc-stream"
     max_files_per_trigger: int = 1
     salt_buckets: int = 0
+    mode: str = "cow"                      # "cow" | "mor" write strategy
+    auto_compact_deltas: int = 16
     transform: Callable[[DataFrame], DataFrame] | None = None
     metrics: list[MergeMetrics] = field(default_factory=list)
     fail_after_batches: int | None = None  # test hook: crash mid-stream
@@ -51,7 +53,8 @@ class CdcStreamRunner:
             batch_df = self.transform(batch_df)
         m = merge_cdc_batch(
             self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
-            salt_buckets=self.salt_buckets,
+            salt_buckets=self.salt_buckets, mode=self.mode,
+            auto_compact_deltas=self.auto_compact_deltas,
         )
         self.metrics.append(m)
 

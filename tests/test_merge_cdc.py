@@ -1,11 +1,18 @@
 """MERGE-apply semantics: LWW, deletes, delete-then-reinsert, duplicate-LSN
 redelivery, NULL keys, fence idempotence, schema evolution mid-stream,
-salted dedup equivalence, full replay sha256 match."""
+salted dedup equivalence, full replay sha256 match.
+
+The semantic tests are parameterized over both write strategies — COW
+(rewrite touched buckets) and MOR (append delta files, resolve at read) —
+which must be read-indistinguishable."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+MODES = ["cow", "mor"]
 
 from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
 from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
@@ -45,73 +52,81 @@ def make_table(spark, d):
                             key_cols=["repo", "path"], num_buckets=4)
 
 
-def test_lww_within_batch(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_lww_within_batch(spark, tmp_table_dir, mode):
     t = make_table(spark, tmp_table_dir)
     batch = events_df(spark, [
         evt(1, "I", "r1", "a", "v1"),
         evt(3, "U", "r1", "a", "v3"),
         evt(2, "U", "r1", "a", "v2"),   # out of arrival order
     ])
-    merge_cdc_batch(t, batch, batch_id=0, txn_app="x")
+    merge_cdc_batch(t, batch, batch_id=0, txn_app="x", mode=mode)
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0].content == "v3"
 
 
-def test_delete_wins_and_reinsert(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_delete_wins_and_reinsert(spark, tmp_table_dir, mode):
     t = make_table(spark, tmp_table_dir)
     merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1"),
-                                         evt(2, "I", "r1", "b", "v1")]), 0, "x")
+                                         evt(2, "I", "r1", "b", "v1")]), 0, "x",
+                    mode=mode)
     # delete-then-reinsert within one batch: max-lsn op decides
     batch = events_df(spark, [
         evt(3, "D", "r1", "a", None),
         evt(4, "I", "r1", "a", "back"),
         evt(5, "D", "r1", "b", None),
     ])
-    merge_cdc_batch(t, batch, 1, "x")
+    merge_cdc_batch(t, batch, 1, "x", mode=mode)
     rows = {r.path: r.content for r in t.read().collect()}
     assert rows == {"a": "back"}
 
 
-def test_update_on_absent_key_inserts(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_update_on_absent_key_inserts(spark, tmp_table_dir, mode):
     """Reference MERGE semantics: WHEN NOT MATCHED THEN INSERT regardless of
     op being an update (loader.py:381-434)."""
     t = make_table(spark, tmp_table_dir)
-    merge_cdc_batch(t, events_df(spark, [evt(1, "U", "rX", "p", "vX")]), 0, "x")
+    merge_cdc_batch(t, events_df(spark, [evt(1, "U", "rX", "p", "vX")]), 0, "x",
+                    mode=mode)
     assert t.read().count() == 1
 
 
-def test_duplicate_lsn_redelivery(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_duplicate_lsn_redelivery(spark, tmp_table_dir, mode):
     """Same events delivered twice (at-least-once source): idempotent result."""
     t = make_table(spark, tmp_table_dir)
     batch = events_df(spark, [evt(1, "I", "r1", "a", "v1"),
                               evt(2, "U", "r1", "a", "v2")])
-    merge_cdc_batch(t, batch, 0, "x")
-    merge_cdc_batch(t, batch.union(batch), 1, "x")  # redelivered, new batch id
+    merge_cdc_batch(t, batch, 0, "x", mode=mode)
+    merge_cdc_batch(t, batch.union(batch), 1, "x", mode=mode)  # redelivered
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0].content == "v2"
 
 
-def test_fence_skips_replayed_batch(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_fence_skips_replayed_batch(spark, tmp_table_dir, mode):
     t = make_table(spark, tmp_table_dir)
     b0 = events_df(spark, [evt(1, "I", "r1", "a", "v1")])
     b1 = events_df(spark, [evt(2, "D", "r1", "a", None)])
-    m0 = merge_cdc_batch(t, b0, 0, "app")
-    m1 = merge_cdc_batch(t, b1, 1, "app")
+    m0 = merge_cdc_batch(t, b0, 0, "app", mode=mode)
+    m1 = merge_cdc_batch(t, b1, 1, "app", mode=mode)
     assert not m0.skipped_fence and not m1.skipped_fence
     # foreachBatch retry replays batch 0 after batch 1 already committed:
-    m = merge_cdc_batch(t, b0, 0, "app")
+    m = merge_cdc_batch(t, b0, 0, "app", mode=mode)
     assert m.skipped_fence
     assert t.read().count() == 0  # delete still in effect
     assert t.last_txn("app") == 1
 
 
-def test_null_key_tolerated(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_null_key_tolerated(spark, tmp_table_dir, mode):
     """NULL-keyed rows land in a stable bucket and upsert like any key
     (reference repairs NULL-key legacy rows in MERGE, loader.py:517-519)."""
     t = make_table(spark, tmp_table_dir)
     b = events_df(spark, [(1, 0, "I", "r1", None, "c1", "py", "v1"),
                           (2, 0, "U", "r1", None, "c2", "py", "v2")])
-    merge_cdc_batch(t, b, 0, "x")
+    merge_cdc_batch(t, b, 0, "x", mode=mode)
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0].content == "v2" and rows[0].path is None
 
@@ -144,13 +159,14 @@ def test_salted_dedup_equivalence(spark):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
-def test_full_replay_sha256_match(spark, tmp_table_dir):
+@pytest.mark.parametrize("mode", MODES)
+def test_full_replay_sha256_match(spark, tmp_table_dir, mode):
     """The BASELINE.json invariant end-to-end at small scale."""
     t = make_table(spark, tmp_table_dir)
     feed = change_feed(spark, n_events=20000, n_keys=800, n_epochs=4).cache()
     for e in range(4):
         merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "replay",
-                        salt_buckets=4)
+                        salt_buckets=4, mode=mode)
     res = assert_replay_match(t.read(), expected_final_state(feed))
     assert res["sha_mismatch"] == 0 and res["missing"] == 0 and res["extra"] == 0
     feed.unpersist()

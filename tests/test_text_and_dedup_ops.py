@@ -1,0 +1,116 @@
+"""Unit tests for the training-data-pipeline operators: text analysis,
+exact/near dedup (MinHash-LSH, SimHash, Jaccard), similarity search."""
+
+from pyspark.sql import functions as F
+
+from etl_api_bigquery_spark.functions.text import (
+    fingerprint, lang_id, quality_score, token_count)
+from etl_api_bigquery_spark.operators.dedup import (
+    exact_dedup, minhash_dedup, minhash_lsh_candidates, ngram_jaccard,
+    shingles, simhash_candidates, simhash_hamming, simhash_bits)
+from etl_api_bigquery_spark.operators.quality import (
+    duplicate_keys, quality_report)
+from etl_api_bigquery_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "green forest looking for food and water in the morning light")
+    near = base.replace("morning", "evening")
+    far = "der hund ist nicht mit der katze auf das feld gegangen und die"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far),
+         (4, "completely unrelated text about spark query engines and joins")],
+        ["doc_id", "text"])
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([("Hello,  World! 42",), ("  hello world 42 ",)],
+                               ["text"])
+    out = df.select(token_count("text").alias("n"),
+                    fingerprint("text").alias("fp")).collect()
+    assert out[0].n == 3
+    # fingerprint normalizes case/whitespace but keeps punctuation distinction
+    assert out[0].fp != out[1].fp
+    df2 = spark.createDataFrame([("a  b",), ("A B ",)], ["text"])
+    fps = df2.select(fingerprint("text").alias("fp")).collect()
+    assert fps[0].fp == fps[1].fp
+
+
+def test_lang_id_votes(spark):
+    out = {r.doc_id: r.g for r in
+           docs(spark).select("doc_id", lang_id("text").alias("g")).collect()}
+    assert out[0] == "en" and out[3] == "de"
+
+
+def test_quality_score_bounds(spark):
+    out = docs(spark).select(quality_score("text").alias("s")).collect()
+    assert all(0.0 <= r.s <= 1.0 for r in out)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = exact_dedup(docs(spark), "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 is an exact dup of 0
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_candidates(docs(spark), "doc_id", "text",
+                                   num_hashes=32, bands=16, min_jaccard=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got          # exact dup always caught
+    assert (0, 2) in got          # one-word-diff near dup
+    assert all(p not in got for p in [(0, 3), (0, 4), (3, 4)])
+
+
+def test_minhash_dedup_drops_higher_id(spark):
+    kept = minhash_dedup(docs(spark), "doc_id", "text", min_jaccard=0.5,
+                         num_hashes=32, bands=16)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_simhash_identical_and_near(spark):
+    d = docs(spark)
+    sh = d.select("doc_id", simhash_bits("text", 32).alias("s")).collect()
+    m = {r.doc_id: r.s for r in sh}
+    assert m[0] == m[1] and len(m[0]) == 32
+    pairs = simhash_candidates(d, "doc_id", "text", bits=32, bands=4,
+                               max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got
+
+
+def test_ngram_jaccard_values(spark):
+    d = docs(spark).select("doc_id", shingles("text", 1).alias("sh"))
+    a = d.filter("doc_id = 0").select(F.col("sh").alias("a"))
+    b = d.filter("doc_id = 1").select(F.col("sh").alias("b"))
+    j = a.crossJoin(b).select(ngram_jaccard(F.col("a"), F.col("b")).alias("j"))
+    assert j.collect()[0].j == 1.0
+
+
+def test_cosine_topk_exact_vs_lsh_recall(spark):
+    import math
+    vecs = [(i, [math.cos(i * 0.3 + d * 0.01) for d in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = cosine_topk(df, df.filter("vec_id < 3"), k=3)
+    rows = exact.collect()
+    assert len(rows) == 9
+    assert all(r.cos <= 1.000001 for r in rows)
+    # LSH returns a subset ranking; top-1 recall should be decent on smooth data
+    approx = lsh_topk(df, df.filter("vec_id < 3"), k=3, bits=8, bands=4, dim=16)
+    assert approx.count() >= 3
+
+
+def test_quality_report_and_dup_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (3, "c")], ["k", "v"])
+    rep = quality_report(df, required_cols=["v"], key_cols=["k"])
+    assert rep.total_rows == 4
+    assert abs(rep.null_rates["v"] - 0.25) < 1e-9
+    assert abs(rep.dup_rate - 0.25) < 1e-9
+    assert not rep.passed()
+    dups = duplicate_keys(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0].dup_count == 2
