@@ -189,9 +189,15 @@ def merge_cdc_batch(
     snap = table.snapshot()
     key_cols = table.key_cols
 
-    # ---- 1. LWW dedup + bucket assignment
-    winners = lww_dedup(events, key_cols, lsn_col, salt_buckets)
-    winners = winners.withColumn(BUCKET_COL, table.bucket_expr()).cache()
+    # ---- 1. ONE shuffle for the whole batch: repartition by bucket, then
+    # dedup grouped by (bucket, keys) — HashPartitioning(_bucket) satisfies
+    # ClusteredDistribution(_bucket, keys) because _bucket is a function of
+    # the keys, so Catalyst inserts no second exchange; the bucket-pure write
+    # then needs no repartition either. (Was: dedup shuffle + write shuffle.)
+    evb = events.withColumn(BUCKET_COL, table.bucket_expr())
+    evb = evb.repartition(table.num_buckets, F.col(BUCKET_COL))
+    winners = lww_dedup(evb, [BUCKET_COL] + key_cols, lsn_col, salt_buckets)
+    winners = winners.cache()
     try:
         # one pass for counts + touched buckets + skew factor (small result)
         bstats = (
@@ -234,7 +240,8 @@ def merge_cdc_batch(
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 F.col(op_col).alias(OP_COL))
             props["lineage"]["target_rows_read"] = 0
-            m.version = table.append_deltas(delta, properties=props)
+            m.version = table.append_deltas(delta, properties=props,
+                                            repartition=False)
             # amortized compaction keeps read amplification bounded
             counts = table.delta_file_counts()
             hot = [b for b in buckets if counts.get(b, 0) >= auto_compact_deltas]

@@ -510,15 +510,18 @@ class LakeTable:
                                   properties or {})
 
     def append_deltas(self, df: DataFrame,
-                      properties: dict[str, Any] | None = None) -> int:
+                      properties: dict[str, Any] | None = None,
+                      repartition: bool = True) -> int:
         """Merge-on-read write path: append LWW-resolvable change files
         (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
         read, no rewrite; reads resolve via :meth:`_resolve_lww` and
-        :meth:`compact_deltas` folds deltas into base files."""
+        :meth:`compact_deltas` folds deltas into base files. Pass
+        ``repartition=False`` when df is already bucket-partitioned (the
+        merge path) to skip the extra shuffle."""
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
-                                      kind="delta")
+                                      kind="delta", repartition=repartition)
         return self._write_commit(version, "merge_mor", snap.schema,
                                   snap.schema_id, adds, [], properties or {})
 
