@@ -67,9 +67,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- CDC replay sizing: 10M events/sf-unit => 1M at sf0.1
-    n_events = max(50_000, int(10_000_000 * sf))
+    # (BENCH_EVENTS / BENCH_EPOCHS override for scaling runs, where batches
+    # must be large enough that compute dominates per-trigger fixed costs)
+    n_events = int(os.environ.get("BENCH_EVENTS", 0)) or max(
+        50_000, int(10_000_000 * sf))
     n_keys = max(5_000, n_events // 10)
-    n_epochs = 10
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "10"))
     work = f"/tmp/bench_cdc_{sf}_{CPUS}"
     shutil.rmtree(work, ignore_errors=True)
     feed_dir, table_dir, ckpt = (f"{work}/feed", f"{work}/silver", f"{work}/ckpt")
@@ -100,7 +103,11 @@ def main() -> None:
     # ---- headline queries
     qmap = entrymod.queries()
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    if os.environ.get("BENCH_SKIP_QUERIES") == "1":
+        qmap, bench_queries = {}, []
+    else:
+        bench_queries = BENCH_QUERIES
+    for name in bench_queries:
         # time construction + execution: some queries (the CDC flagship) do
         # eager engine work while building the DataFrame
         t0 = time.monotonic()

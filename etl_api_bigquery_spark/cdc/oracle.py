@@ -37,8 +37,13 @@ def assert_replay_match(
     """Full-outer-join comparison with per-row sha256(content) equality — the
     BASELINE.json invariant. Returns counts; raises AssertionError on any
     mismatch (missing key, extra key, or content hash diff)."""
-    a = actual.select(*key_cols, F.sha2(F.col(content_col), 256).alias("_sha_a"))
-    e = expected.select(*key_cols, F.sha2(F.col(content_col), 256).alias("_sha_e"))
+    # coalesce so a present row with NULL content hashes to a sentinel rather
+    # than NULL (which would read as a missing row in the outer join)
+    def sha(alias):
+        return F.sha2(F.coalesce(F.col(content_col), F.lit("\x00")), 256).alias(alias)
+
+    a = actual.select(*key_cols, sha("_sha_a"))
+    e = expected.select(*key_cols, sha("_sha_e"))
     j = a.join(e, on=list(key_cols), how="full_outer")
     agg = j.agg(
         F.count("*").alias("total"),

@@ -255,17 +255,33 @@ def merge_cdc_batch(
             props["lineage"]["target_rows_read"] = m.target_rows_read
             target = table.read(buckets=buckets, with_bucket=True)
 
-            # survivors ∪ upserts (batch keys broadcast — target never
-            # shuffles for the probe)
-            batch_keys = winners.select(*key_cols)
-            survivors = target.join(F.broadcast(batch_keys), on=key_cols,
-                                    how="left_anti")
+            # LSN-aware apply: a batch event only wins against table rows it
+            # actually beats. Without this, an OLDER event redelivered in a
+            # LATER micro-batch would clobber newer data (found by the
+            # hypothesis property suite; MOR is immune because it resolves
+            # global max-LSN at read). cur_lsn per batch key is small
+            # (≤ batch keys), so every join here broadcasts — the target is
+            # never shuffled for the probe.
+            batch_keys = winners.select(*key_cols).distinct()
+            cur = (target.join(F.broadcast(batch_keys), on=key_cols,
+                               how="left_semi")
+                   .groupBy(*key_cols)
+                   .agg(F.max(LSN_COL).alias("_cur_lsn")))
+            effective = (
+                winners.join(F.broadcast(cur), on=key_cols, how="left")
+                .filter(F.col("_cur_lsn").isNull()
+                        | (F.col(lsn_col) > F.col("_cur_lsn")))
+                .drop("_cur_lsn")
+            ).cache()
+            survivors = target.join(
+                F.broadcast(effective.select(*key_cols)), on=key_cols,
+                how="left_anti")
             fields = (list(snap.schema.fields)
                       + [T.StructField(BUCKET_COL, T.IntegerType()),
                          T.StructField(LSN_COL, T.LongType())])
             data_cols = [f.name for f in fields]
             upserts = (
-                winners.filter(F.col(op_col) != OP_DELETE)
+                effective.filter(F.col(op_col) != OP_DELETE)
                 .withColumn(LSN_COL, F.col(lsn_col).cast("long"))
                 .select(*[payload(f) if f.name not in (BUCKET_COL, LSN_COL)
                           else F.col(f.name) for f in fields])
@@ -273,6 +289,7 @@ def merge_cdc_batch(
             merged = survivors.select(*data_cols).unionByName(upserts)
             m.version = table.commit_rewrite(
                 merged, target_files, "merge", snap.schema, snap.schema_id, props)
+            effective.unpersist()
     finally:
         winners.unpersist()
 
