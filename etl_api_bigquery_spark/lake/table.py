@@ -333,11 +333,33 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
+    def prune_files(self, entries: list[FileEntry],
+                    predicates: list[tuple[str, str, Any]]) -> list[FileEntry]:
+        """File-level data skipping on footer min/max stats (the manifest-side
+        of what Iceberg manifests / Delta checkpoints provide). ``predicates``
+        are conjunctive (col, op, value) with op in =, <, <=, >, >=.
+        Files without stats for a column are conservatively kept."""
+        def may_match(e: FileEntry) -> bool:
+            for col, op, val in predicates:
+                st = e.stats.get(col)
+                if not st:
+                    continue
+                mn, mx = st[0], st[1]
+                if op == "=" and not (mn <= val <= mx):
+                    return False
+                if op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)):
+                    return False
+                if op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)):
+                    return False
+            return True
+        return [e for e in entries if may_match(e)]
+
     def read(
         self,
         version: int | None = None,
         buckets: Iterable[int] | None = None,
         with_bucket: bool = False,
+        skip_predicates: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
         """Snapshot read. ``buckets`` prunes to the given bucket ids using the
         manifest (no file even opened for pruned buckets).
@@ -350,6 +372,14 @@ class LakeTable:
         so read amplification stays O(1) per bucket."""
         snap = self.snapshot(version)
         entries = snap.files_for_buckets(buckets)
+        if skip_predicates:
+            # NOTE: stats skipping is only sound when no delta files overlap
+            # the pruned set (a delta could revive/delete a key outside the
+            # base file's range); enforced here.
+            if any(e.kind == "delta" for e in entries):
+                raise ValueError("skip_predicates requires compacted buckets "
+                                 "(run compact_deltas first)")
+            entries = self.prune_files(entries, skip_predicates)
         base = self._read_entries(snap, entries, "base")
         has_delta = any(e.kind == "delta" for e in entries)
         if not has_delta:

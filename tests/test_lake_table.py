@@ -106,6 +106,33 @@ def test_compact_and_vacuum(spark, tmp_table_dir):
     assert t.read().count() == 60  # current snapshot untouched
 
 
+def test_stats_file_skipping(spark, tmp_table_dir):
+    """min/max footer stats prune files whose value range cannot match —
+    effective for range-correlated columns (each commit's files carry a tight
+    range), not for hash-scattered keys."""
+    schema = T.StructType(list(SCHEMA.fields) + [T.StructField("seq", T.LongType())])
+    t = LakeTable.create(spark, os.path.join(tmp_table_dir, "s"), schema,
+                         key_cols=["repo", "path"], num_buckets=4)
+    for gen in range(3):  # three commits with disjoint seq ranges
+        t.append(rows_df(spark, 100, f"g{gen}")
+                 .withColumn("seq", (F.monotonically_increasing_id() % 100
+                                     + gen * 1000).cast("long")))
+    snap = t.snapshot()
+    all_entries = list(snap.files.values())
+    pruned = t.prune_files(all_entries, [("seq", ">=", 1000), ("seq", "<", 1100)])
+    assert 0 < len(pruned) < len(all_entries)
+    got = t.read(skip_predicates=[("seq", ">=", 1000), ("seq", "<", 1100)])
+    assert got.filter("seq >= 1000 and seq < 1100").count() == 100
+    # and deltas present -> refuse (unsound)
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    b = spark.createDataFrame([(1, 0, "U", "rz", "pz", "x", 5000)],
+                              ["lsn", "epoch", "op", "repo", "path",
+                               "content", "seq"])
+    merge_cdc_batch(t, b, 0, "sp", mode="mor")
+    with pytest.raises(ValueError):
+        t.read(skip_predicates=[("seq", "=", 5000)])
+
+
 def test_schema_conform_on_read(spark, tmp_table_dir):
     """Old files read through an evolved schema: NULL backfill + widening."""
     t = make_table(spark, tmp_table_dir)
