@@ -79,7 +79,11 @@ def main() -> None:
 
     feed = change_feed(spark, n_events=n_events, n_keys=n_keys,
                        n_epochs=n_epochs)
-    write_feed_as_epoch_files(feed, feed_dir)  # staging, untimed
+    # keep the per-batch scan parallel; overridable so scaling runs use
+    # byte-identical staging at both parallelism levels
+    files_per_epoch = int(os.environ.get("BENCH_FILES_PER_EPOCH", 0)) \
+        or max(4, CPUS // 2)
+    write_feed_as_epoch_files(feed, feed_dir, files_per_epoch)  # untimed
 
     silver_schema = T.StructType([
         T.StructField(c, T.StringType()) for c in
@@ -90,11 +94,18 @@ def main() -> None:
 
     runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
                              salt_buckets=8, mode="mor",
-                             auto_compact_deltas=8)
+                             auto_compact_deltas=8,
+                             max_files_per_trigger=files_per_epoch)
     t0 = time.monotonic()
     runner.run_available_now(timeout_sec=3600)
     replay_sec = time.monotonic() - t0
     events_per_sec = n_events / replay_sec
+    # steady-state: min per-batch merge time (warmup batch excluded) — robust
+    # to shared-host noise spikes, comparable across parallelism levels
+    batch_secs = [m.duration_sec for m in runner.metrics
+                  if not m.skipped_fence][1:]
+    batch_events = n_events / n_epochs
+    steady = (batch_events / min(batch_secs)) if batch_secs else events_per_sec
 
     # correctness gate on the benched result (untimed)
     match = assert_replay_match(table.read(), expected_final_state(
@@ -120,6 +131,7 @@ def main() -> None:
         "value": round(replay_sec, 3),
         "unit": "sec",
         "events_per_sec": round(events_per_sec, 1),
+        "events_per_sec_steady": round(steady, 1),
         "n_events": n_events,
         "n_epochs": n_epochs,
         "cpus": CPUS,

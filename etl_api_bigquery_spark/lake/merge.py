@@ -51,7 +51,6 @@ class MergeMetrics:
     """Per-batch lineage record (reference analogue: per-job metrics
     records_count / duration / records_per_second, src/monitoring/metrics.py:100)."""
     batch_id: int = -1
-    events_in: int = 0
     keys: int = 0
     deletes: int = 0
     upserts: int = 0
@@ -169,6 +168,11 @@ def merge_cdc_batch(
       bucket accumulates ``auto_compact_deltas`` delta files. This is the
       high-throughput CDC-ingest path (the Hudi/Paimon-style tradeoff) —
       at 10^10 events/day the per-batch rewrite of COW is unaffordable.
+    * ``mode="raw"`` — LSM-style raw append: NO shuffle, NO dedup — the batch
+      is written exactly as scanned (bucket column computed map-side for
+      coarse min/max pruning); read-side LWW absorbs in-batch duplicates too.
+      Maximum write throughput; compaction (full L0 fold, triggered at
+      ``auto_compact_deltas`` total delta files) pays the deferred cost.
     """
     t0 = time.monotonic()
     m = MergeMetrics(batch_id=batch_id)
@@ -188,6 +192,36 @@ def merge_cdc_batch(
 
     snap = table.snapshot()
     key_cols = table.key_cols
+
+    # ---- raw mode: zero-shuffle append; no per-batch stats jobs at all.
+    # Per-bucket lineage comes free from the harvested file entries.
+    if mode == "raw":
+        props: dict[str, Any] = dict(extra_props or {})
+        if txn_app is not None:
+            props["txn_app"] = txn_app
+            props["txn_batch"] = batch_id
+        snap0 = table.snapshot()
+        raw = events.withColumn(BUCKET_COL, table.bucket_expr())
+        delta = raw.select(
+            *[(F.col(f.name).cast(f.dataType).alias(f.name)
+               if f.name in raw.columns
+               else F.lit(None).cast(f.dataType).alias(f.name))
+              for f in snap0.schema.fields],
+            F.col(BUCKET_COL),
+            F.col(lsn_col).cast("long").alias(LSN_COL),
+            F.col(op_col).alias(OP_COL))
+        m.version = table.append_deltas(delta, properties=props,
+                                        repartition=False, bucket_pure=False)
+        adds = [e for e in table.snapshot(m.version).files.values()
+                if e.path.startswith(f"data/c{m.version:010d}")]
+        m.keys = sum(e.rows for e in adds)   # events appended (incl. dups)
+        m.buckets_touched = table.num_buckets
+        n_deltas = sum(table.delta_file_counts().values())
+        if n_deltas >= auto_compact_deltas:
+            table.compact_deltas(buckets=list(range(table.num_buckets)),
+                                 properties={"auto_compact_for_batch": batch_id})
+        m.duration_sec = time.monotonic() - t0
+        return m
 
     # ---- 1. ONE shuffle for the whole batch: repartition by bucket, then
     # dedup grouped by (bucket, keys) — HashPartitioning(_bucket) satisfies
@@ -251,6 +285,12 @@ def merge_cdc_batch(
         else:
             # ---- copy-on-write: bucket-pruned target read (manifest skipping)
             target_files = snap.files_for_buckets(buckets)
+            from .table import MIXED_BUCKET
+            if any(e.bucket == MIXED_BUCKET for e in target_files):
+                # raw-append deltas span buckets: a partial rewrite would
+                # leave their foreign-bucket rows duplicated -> full rewrite
+                buckets = None
+                target_files = list(snap.files.values())
             m.target_rows_read = sum(e.rows for e in target_files)
             props["lineage"]["target_rows_read"] = m.target_rows_read
             target = table.read(buckets=buckets, with_bucket=True)
@@ -278,15 +318,20 @@ def merge_cdc_batch(
                 how="left_anti")
             fields = (list(snap.schema.fields)
                       + [T.StructField(BUCKET_COL, T.IntegerType()),
-                         T.StructField(LSN_COL, T.LongType())])
+                         T.StructField(LSN_COL, T.LongType()),
+                         T.StructField(OP_COL, T.StringType())])
             data_cols = [f.name for f in fields]
-            upserts = (
-                effective.filter(F.col(op_col) != OP_DELETE)
+            # effective D events are written as TOMBSTONE rows (kept in base,
+            # filtered by public reads) so their LSN keeps guarding the key
+            applied = (
+                effective
                 .withColumn(LSN_COL, F.col(lsn_col).cast("long"))
-                .select(*[payload(f) if f.name not in (BUCKET_COL, LSN_COL)
+                .withColumn(OP_COL, F.col(op_col))
+                .select(*[payload(f)
+                          if f.name not in (BUCKET_COL, LSN_COL, OP_COL)
                           else F.col(f.name) for f in fields])
             )
-            merged = survivors.select(*data_cols).unionByName(upserts)
+            merged = survivors.select(*data_cols).unionByName(applied)
             m.version = table.commit_rewrite(
                 merged, target_files, "merge", snap.schema, snap.schema_id, props)
             effective.unpersist()

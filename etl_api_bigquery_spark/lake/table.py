@@ -60,6 +60,7 @@ _DATA_DIR = "data"
 BUCKET_COL = "_bucket"   # bucket id: pmod(xxhash64(keys), num_buckets)
 LSN_COL = "_lsn"         # last-writer LSN of the row (0 for plain appends)
 OP_COL = "_op"           # delta files only: I/U/D envelope op
+MIXED_BUCKET = -1        # FileEntry.bucket for raw-append files spanning buckets
 
 # int -> long -> double widening lattice (reference "Critical: always float64,
 # never int64", src/shared/parquet/schemas.py:30-34).
@@ -113,14 +114,28 @@ class Snapshot:
         if buckets is None:
             return list(self.files.values())
         bs = set(buckets)
-        return [f for f in self.files.values() if f.bucket in bs]
+        out = []
+        for f in self.files.values():
+            if f.bucket in bs:
+                out.append(f)
+            elif f.bucket == MIXED_BUCKET:
+                # raw-append delta spanning many buckets: keep if its
+                # _bucket min/max range intersects the requested set
+                st = f.stats.get("_bucket")
+                if st is None or any(st[0] <= b <= st[1] for b in bs):
+                    out.append(f)
+        return out
 
 
 def _schema_with_engine_cols(schema: T.StructType, kind: str = "base") -> T.StructType:
+    """All data files carry (_bucket, _lsn, _op). _op in BASE files encodes
+    delete tombstones: a deleted key keeps a row with _op='D' and the
+    delete's LSN, so an out-of-order OLDER event can never resurrect it
+    (found by the hypothesis property suite). Public reads filter tombstones;
+    expire_tombstones() GCs them once the feed's low-watermark passes."""
     extra = [T.StructField(BUCKET_COL, T.IntegerType()),
-             T.StructField(LSN_COL, T.LongType())]
-    if kind == "delta":
-        extra.append(T.StructField(OP_COL, T.StringType()))
+             T.StructField(LSN_COL, T.LongType()),
+             T.StructField(OP_COL, T.StringType())]
     return T.StructType(list(schema.fields) + extra)
 
 
@@ -386,23 +401,45 @@ class LakeTable:
             df = base
         else:
             delta = self._read_entries(snap, entries, "delta")
-            df = self._resolve_lww(base.withColumn(OP_COL, F.lit("U"))
-                                   .unionByName(delta))
-        return df if with_bucket else df.drop(BUCKET_COL, LSN_COL)
+            df = self._resolve_lww(base.unionByName(delta))
+        if not with_bucket:
+            # public read: hide tombstones and engine columns
+            df = (df.filter(F.coalesce(F.col(OP_COL), F.lit("U")) != "D")
+                  .drop(BUCKET_COL, LSN_COL, OP_COL))
+        return df
 
-    def _resolve_lww(self, unioned: DataFrame) -> DataFrame:
-        """Collapse base+delta rows: max-LSN row per key wins; D tombstones
-        remove the key. NULL keys group via the same coalesce rule as
-        bucketing (they behave as one key, matching merge semantics)."""
+    def _resolve_lww(self, unioned: DataFrame,
+                     drop_tombstones: bool = False) -> DataFrame:
+        """Collapse base+delta rows to the max-LSN row per key. Winning D
+        rows are KEPT as tombstones (public reads filter them; they guard
+        against resurrection by out-of-order older events). NULL keys group
+        via the same coalesce rule as bucketing."""
         from pyspark.sql import Window
 
         keys = self.key_cols
         w = Window.partitionBy(*[
             F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys
-        ]).orderBy(F.col(LSN_COL).desc(), F.col(OP_COL).desc())
-        return (unioned.withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "D"))
-                .drop("_rn", OP_COL))
+        ]).orderBy(F.col(LSN_COL).desc(),
+                   F.coalesce(F.col(OP_COL), F.lit("U")).desc())
+        out = (unioned.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+        if drop_tombstones:
+            out = out.filter(F.coalesce(F.col(OP_COL), F.lit("U")) != "D")
+        return out
+
+    def expire_tombstones(self, below_lsn: int,
+                          properties: dict[str, Any] | None = None) -> int:
+        """GC delete tombstones whose LSN is below the feed's low-watermark
+        (no event with a lower LSN can still arrive). Copy-on-write rewrite."""
+        snap = self.snapshot()
+        full = self.read(with_bucket=True)
+        keep = full.filter(~((F.coalesce(F.col(OP_COL), F.lit("U")) == "D")
+                             & (F.col(LSN_COL) < below_lsn)))
+        props = dict(properties or {})
+        props["tombstones_expired_below"] = below_lsn
+        return self.commit_rewrite(keep, list(snap.files.values()),
+                                   "expire_tombstones", snap.schema,
+                                   snap.schema_id, props)
 
     def is_empty(self) -> bool:
         return self.snapshot().num_rows == 0
@@ -411,26 +448,34 @@ class LakeTable:
 
     def _write_data_files(
         self, df: DataFrame, version: int, schema: T.StructType, schema_id: int,
-        repartition: bool = True, kind: str = "base",
+        repartition: bool = True, kind: str = "base", bucket_pure: bool = True,
     ) -> list[FileEntry]:
-        """Write df (must already carry BUCKET_COL) as bucket-pure parquet files.
+        """Write df (must already carry BUCKET_COL) as parquet data files.
 
-        ``partitionBy`` on a duplicated ``_bkt`` column yields one directory per
-        bucket; ``_bucket`` itself stays as a data column so snapshot reads need
-        no basePath reconstruction. Stats come from parquet footers only.
+        ``bucket_pure=True`` (default): ``partitionBy`` on a duplicated
+        ``_bkt`` column yields one directory per bucket; ``_bucket`` itself
+        stays as a data column so snapshot reads need no basePath
+        reconstruction. ``bucket_pure=False`` (raw-append deltas): files are
+        written as-scanned with NO shuffle; per-file _bucket min/max stats
+        still allow coarse pruning. Stats come from parquet footers only.
         """
         out = df
         if LSN_COL not in out.columns:
             out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
+        if OP_COL not in out.columns:
+            out = out.withColumn(OP_COL, F.lit("U"))
         # conform column order/types to the table schema + engine cols
         target = _schema_with_engine_cols(schema, kind)
         out = _conform(out, target)
-        if repartition:
-            out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
-        out = out.withColumn("_bkt", F.col(BUCKET_COL))
         rel_dir = f"{_DATA_DIR}/c{version:010d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.location, rel_dir)
-        out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
+        if bucket_pure:
+            if repartition:
+                out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
+            out = out.withColumn("_bkt", F.col(BUCKET_COL))
+            out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
+        else:
+            out.write.mode("overwrite").parquet(abs_dir)
         return self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
 
     def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int,
@@ -438,8 +483,12 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         entries: list[FileEntry] = []
-        for fp in glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet")):
-            bucket = int(os.path.basename(os.path.dirname(fp)).split("=", 1)[1])
+        paths = (glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet"))
+                 + glob.glob(os.path.join(abs_dir, "*.parquet")))
+        for fp in paths:
+            parent = os.path.basename(os.path.dirname(fp))
+            bucket = (int(parent.split("=", 1)[1]) if parent.startswith("_bkt=")
+                      else MIXED_BUCKET)
             md = pq.read_metadata(fp)
             stats: dict[str, list[Any]] = {}
             sch = md.schema
@@ -541,7 +590,8 @@ class LakeTable:
 
     def append_deltas(self, df: DataFrame,
                       properties: dict[str, Any] | None = None,
-                      repartition: bool = True) -> int:
+                      repartition: bool = True,
+                      bucket_pure: bool = True) -> int:
         """Merge-on-read write path: append LWW-resolvable change files
         (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
         read, no rewrite; reads resolve via :meth:`_resolve_lww` and
@@ -551,11 +601,13 @@ class LakeTable:
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
-                                      kind="delta", repartition=repartition)
+                                      kind="delta", repartition=repartition,
+                                      bucket_pure=bucket_pure)
         return self._write_commit(version, "merge_mor", snap.schema,
                                   snap.schema_id, adds, [], properties or {})
 
     def delta_file_counts(self) -> dict[int, int]:
+        """Delta files per bucket; key MIXED_BUCKET counts raw-append files."""
         counts: dict[int, int] = {}
         for e in self.snapshot().files.values():
             if e.kind == "delta":
@@ -569,7 +621,11 @@ class LakeTable:
         reached ``max_delta_files`` (or an explicit bucket list). Content
         preserving: resolved LWW state is rewritten as base; tombstones
         physically disappear. The MOR analogue of Iceberg rewrite_data_files /
-        Hudi compaction."""
+        Hudi compaction.
+
+        Raw-append (mixed-bucket) delta files span buckets, so removing one
+        requires compacting every bucket it covers — with any mixed victim
+        the target set expands to ALL buckets (LSM L0→L1 full fold)."""
         snap = self.snapshot()
         if buckets is None:
             counts = self.delta_file_counts()
@@ -579,9 +635,12 @@ class LakeTable:
         if not targets:
             return None
         victims = snap.files_for_buckets(targets)
+        if any(e.bucket == MIXED_BUCKET for e in victims):
+            targets = None          # full-table fold
+            victims = list(snap.files.values())
         resolved = self.read(buckets=targets, with_bucket=True)
         props = dict(properties or {})
-        props["compacted_delta_buckets"] = sorted(targets)
+        props["compacted_delta_buckets"] = sorted(targets) if targets else "all"
         return self.commit_rewrite(resolved, victims, "compact_deltas",
                                    snap.schema, snap.schema_id, props)
 

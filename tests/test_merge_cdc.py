@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MODES = ["cow", "mor"]
+MODES = ["cow", "mor", "raw"]
 
 from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
 from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
@@ -150,6 +150,42 @@ def test_schema_evolution_mid_stream(spark, tmp_table_dir):
     assert dict(t.snapshot().schema["size_bytes"].jsonValue().items())["type"] == "long"
     assert t.read().filter("size_bytes > 1000000000000").count() == 1
     assert t.read().filter("size_bytes = 123").count() == 1  # upcast old files
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_tombstone_blocks_resurrection(spark, tmp_table_dir, mode):
+    """A delete's LSN must keep guarding the key: an OLDER event arriving in
+    a LATER batch (out-of-order redelivery) cannot resurrect it — the
+    hypothesis-found COW bug, now covered explicitly for every mode."""
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1"),
+                                         evt(6, "D", "r1", "a", None)]),
+                    0, "x", mode=mode)
+    assert t.read().count() == 0
+    # late event with lsn 5 < 6 arrives in the next batch
+    merge_cdc_batch(t, events_df(spark, [evt(5, "U", "r1", "a", "stale")]),
+                    1, "x", mode=mode)
+    assert t.read().count() == 0  # still deleted
+    # and a genuinely newer event does re-insert
+    merge_cdc_batch(t, events_df(spark, [evt(7, "I", "r1", "a", "fresh")]),
+                    2, "x", mode=mode)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "fresh"
+
+
+def test_expire_tombstones(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1"),
+                                         evt(2, "D", "r1", "a", None),
+                                         evt(3, "I", "r1", "b", "v1")]),
+                    0, "x", mode="cow")
+    from etl_api_bigquery_spark.lake.table import OP_COL
+    raw = t.read(with_bucket=True)
+    assert raw.filter(f"{OP_COL} = 'D'").count() == 1
+    t.expire_tombstones(below_lsn=10)
+    raw2 = t.read(with_bucket=True)
+    assert raw2.filter(f"{OP_COL} = 'D'").count() == 0
+    assert t.read().count() == 1  # live data untouched
 
 
 def test_salted_dedup_equivalence(spark):

@@ -83,6 +83,37 @@ def test_mor_time_travel(spark, tmp_table_dir):
     assert t.read().collect()[0].content == "v2"
 
 
+def test_raw_append_then_full_compaction(spark, tmp_table_dir):
+    """raw mode: zero-shuffle appends (mixed-bucket files), correct reads via
+    LWW resolution, and full L0 fold on compaction."""
+    from etl_api_bigquery_spark.lake.table import MIXED_BUCKET
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=6000, n_keys=200, n_epochs=3).cache()
+    for e in range(3):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "raw",
+                        mode="raw", auto_compact_deltas=10**6)
+    assert any(e.bucket == MIXED_BUCKET for e in t.snapshot().files.values())
+    expected = expected_final_state(feed)
+    assert_replay_match(t.read(), expected)
+    t.compact_deltas(buckets=[0])  # mixed victims -> full fold
+    assert t.delta_file_counts() == {}
+    assert all(e.bucket != MIXED_BUCKET for e in t.snapshot().files.values())
+    assert_replay_match(t.read(), expected)
+    feed.unpersist()
+
+
+def test_cow_after_raw_full_rewrite_no_dupes(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=4000, n_keys=150, n_epochs=2).cache()
+    merge_cdc_batch(t, feed.filter("epoch = 0"), 0, "x", mode="raw",
+                    auto_compact_deltas=10**6)
+    merge_cdc_batch(t, feed.filter("epoch = 1"), 1, "x", mode="cow")
+    df = t.read()
+    assert df.groupBy("repo", "path").count().filter("count > 1").isEmpty()
+    assert_replay_match(df, expected_final_state(feed))
+    feed.unpersist()
+
+
 def test_mor_write_cost_independent_of_table_size(spark, tmp_table_dir):
     """The point of MOR: a 1-key batch adds O(1) files and reads 0 target
     rows even on a populated table."""

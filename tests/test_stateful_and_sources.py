@@ -32,9 +32,9 @@ def test_stateful_staleness_filter(spark, tmp_table_dir):
     write_feed_as_epoch_files(e0, feed_dir)          # file 1: epoch 0
     write_feed_as_epoch_files(e0.union(e1),          # file 2: replay + new
                               os.path.join(feed_dir, "replay"))
-    os.rename(os.path.join(feed_dir, "replay", "epoch_00000.parquet"),
+    os.rename(os.path.join(feed_dir, "replay", "epoch_00000_p00.parquet"),
               os.path.join(feed_dir, "epoch_00000b.parquet"))
-    os.rename(os.path.join(feed_dir, "replay", "epoch_00001.parquet"),
+    os.rename(os.path.join(feed_dir, "replay", "epoch_00001_p00.parquet"),
               os.path.join(feed_dir, "epoch_00001b.parquet"))
 
     stream = (spark.readStream.schema(feed_schema())
