@@ -34,10 +34,13 @@ REPS = int(os.environ.get("SCALE_REPS", "3"))
 
 
 def run_level(cpus: int) -> dict:
+    # 2M events/batch: at 10^10-event scale micro-batches are huge, so the
+    # representative regime is compute-dominated batches, not trigger overhead
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-               BENCH_EVENTS=os.environ.get("BENCH_EVENTS", "4000000"),
-               BENCH_EPOCHS=os.environ.get("BENCH_EPOCHS", "5"),
+               BENCH_EVENTS=os.environ.get("BENCH_EVENTS", "8000000"),
+               BENCH_EPOCHS=os.environ.get("BENCH_EPOCHS", "4"),
                BENCH_FILES_PER_EPOCH=os.environ.get("BENCH_FILES_PER_EPOCH", "16"),
+               SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "12g"),
                BENCH_SKIP_QUERIES="1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, timeout=3600)

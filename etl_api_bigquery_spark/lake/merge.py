@@ -106,6 +106,37 @@ def lww_dedup(
     return winner.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
+def lww_prefilter(
+    events: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Bandwidth-reducing first pass of LWW dedup: find each key's winning
+    (max) LSN over a NARROW shuffle of just ``key_cols + lsn`` (Catalyst
+    column-prunes the wide payload out of this subtree), broadcast the winner
+    LSN set, and map-side semi-join the full batch against it.
+
+    Why: the naive dedup shuffles full rows — for content-heavy CDC events
+    (~hundreds of bytes each) the shuffle ser/deser of payload bytes is the
+    scaling bottleneck (memory bandwidth, not CPU). With update ratio r
+    (events per key per batch), this pass cuts full-row shuffle volume by ~r×
+    at the cost of one narrow shuffle + a second source scan (page-cached).
+
+    Not exact on its own: two events of one key sharing the max LSN would both
+    survive (LSNs are unique in a real log, but we don't rely on it) — the
+    caller still runs :func:`lww_dedup` on the filtered rows, which is cheap
+    because survivors ≈ distinct keys.
+
+    Memory bound: the broadcast is ~8 bytes × (keys in batch) per executor.
+    Fine up to tens of millions of keys per micro-batch; for larger batches
+    disable prefiltering (``prefilter=False`` on merge_cdc_batch) or raise
+    executor memory."""
+    winners = (events.groupBy(*key_cols)
+               .agg(F.max(lsn_col).alias(lsn_col))
+               .select(lsn_col))
+    return events.join(F.broadcast(winners), on=lsn_col, how="left_semi")
+
+
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
                      envelope_cols: tuple[str, ...] = ENVELOPE_COLS) -> bool:
     """Diff the batch's data columns against the table schema and apply
@@ -151,6 +182,7 @@ def merge_cdc_batch(
     extra_props: dict[str, Any] | None = None,
     mode: str = "cow",
     auto_compact_deltas: int = 16,
+    prefilter: bool = True,
 ) -> MergeMetrics:
     """Apply one micro-batch of CDC envelopes to the table, exactly once.
 
@@ -228,9 +260,75 @@ def merge_cdc_batch(
     # ClusteredDistribution(_bucket, keys) because _bucket is a function of
     # the keys, so Catalyst inserts no second exchange; the bucket-pure write
     # then needs no repartition either. (Was: dedup shuffle + write shuffle.)
-    evb = events.withColumn(BUCKET_COL, table.bucket_expr())
+    src = (lww_prefilter(events, key_cols, lsn_col) if prefilter else events)
+    evb = src.withColumn(BUCKET_COL, table.bucket_expr())
     evb = evb.repartition(table.num_buckets, F.col(BUCKET_COL))
     winners = lww_dedup(evb, [BUCKET_COL] + key_cols, lsn_col, salt_buckets)
+
+    payload = lambda f: (  # noqa: E731
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in winners.columns
+        else F.lit(None).cast(f.dataType).alias(f.name))
+
+    if mode == "mor":
+        # ---- merge-on-read: ONE Spark job for the whole batch. Counts ride
+        # on the write via Observation (no separate stats pass, no cache);
+        # per-bucket key counts / skew come from the bucket-pure delta files'
+        # harvested footers. Empty batches still commit — the fence advances.
+        from pyspark.sql import Observation
+        obs = Observation()
+        observed = winners.observe(
+            obs,
+            F.count(F.lit(1)).alias("keys"),
+            F.sum(F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0)
+                  ).alias("deletes"))
+        delta = observed.select(
+            *[payload(f) for f in snap.schema.fields],
+            F.col(BUCKET_COL),
+            F.col(lsn_col).cast("long").alias(LSN_COL),
+            F.col(op_col).alias(OP_COL))
+
+        props: dict[str, Any] = dict(extra_props or {})
+        if txn_app is not None:
+            props["txn_app"] = txn_app
+            props["txn_batch"] = batch_id
+
+        def lineage_props(adds):
+            got = obs.get  # available: the write action just finished
+            m.keys = int(got.get("keys") or 0)
+            m.deletes = int(got.get("deletes") or 0)
+            m.upserts = m.keys - m.deletes
+            per_bucket: dict[int, int] = {}
+            for e in adds:
+                per_bucket[e.bucket] = per_bucket.get(e.bucket, 0) + e.rows
+            m.buckets_touched = len(per_bucket)
+            mean_k = m.keys / len(per_bucket) if per_bucket else 0.0
+            m.skew_factor = (round(max(per_bucket.values()) / mean_k, 3)
+                             if mean_k else 0.0)
+            return {"lineage": {
+                "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
+                "upserts": m.upserts, "buckets_touched": m.buckets_touched,
+                "skew_factor": m.skew_factor, "mode": mode,
+                "target_rows_read": 0,
+            }}
+
+        m.version = table.append_deltas(delta, properties=props,
+                                        repartition=False,
+                                        props_fn=lineage_props)
+        # amortized compaction keeps read amplification bounded
+        from .table import MIXED_BUCKET as _MB
+        counts = table.delta_file_counts()
+        hot = [b for b, c in counts.items()
+               if c >= auto_compact_deltas and b != _MB]
+        if hot:
+            table.compact_deltas(buckets=hot,
+                                 properties={"auto_compact_for_batch": batch_id})
+        m.duration_sec = time.monotonic() - t0
+        return m
+
+    # ---- copy-on-write: needs the touched-bucket list BEFORE reading the
+    # target (manifest pruning), so winners is cached and stats collected
+    # up front.
     winners = winners.cache()
     try:
         # one pass for counts + touched buckets + skew factor (small result)
@@ -251,7 +349,7 @@ def merge_cdc_batch(
         mean_k = m.keys / len(buckets)
         m.skew_factor = round(max(int(r["k"]) for r in bstats) / mean_k, 3) if mean_k else 0.0
 
-        props: dict[str, Any] = dict(extra_props or {})
+        props = dict(extra_props or {})
         props["lineage"] = {
             "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
             "upserts": m.upserts, "buckets_touched": m.buckets_touched,
@@ -261,80 +359,58 @@ def merge_cdc_batch(
             props["txn_app"] = txn_app
             props["txn_batch"] = batch_id
 
-        payload = lambda f: (  # noqa: E731
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in winners.columns
-            else F.lit(None).cast(f.dataType).alias(f.name))
+        # bucket-pruned target read (manifest skipping)
+        target_files = snap.files_for_buckets(buckets)
+        from .table import MIXED_BUCKET
+        if any(e.bucket == MIXED_BUCKET for e in target_files):
+            # raw-append deltas span buckets: a partial rewrite would
+            # leave their foreign-bucket rows duplicated -> full rewrite
+            buckets = None
+            target_files = list(snap.files.values())
+        m.target_rows_read = sum(e.rows for e in target_files)
+        props["lineage"]["target_rows_read"] = m.target_rows_read
+        target = table.read(buckets=buckets, with_bucket=True)
 
-        if mode == "mor":
-            # ---- merge-on-read: append delta files only (no target read)
-            delta = winners.select(
-                *[payload(f) for f in snap.schema.fields],
-                F.col(BUCKET_COL),
-                F.col(lsn_col).cast("long").alias(LSN_COL),
-                F.col(op_col).alias(OP_COL))
-            props["lineage"]["target_rows_read"] = 0
-            m.version = table.append_deltas(delta, properties=props,
-                                            repartition=False)
-            # amortized compaction keeps read amplification bounded
-            counts = table.delta_file_counts()
-            hot = [b for b in buckets if counts.get(b, 0) >= auto_compact_deltas]
-            if hot:
-                table.compact_deltas(buckets=hot,
-                                     properties={"auto_compact_for_batch": batch_id})
-        else:
-            # ---- copy-on-write: bucket-pruned target read (manifest skipping)
-            target_files = snap.files_for_buckets(buckets)
-            from .table import MIXED_BUCKET
-            if any(e.bucket == MIXED_BUCKET for e in target_files):
-                # raw-append deltas span buckets: a partial rewrite would
-                # leave their foreign-bucket rows duplicated -> full rewrite
-                buckets = None
-                target_files = list(snap.files.values())
-            m.target_rows_read = sum(e.rows for e in target_files)
-            props["lineage"]["target_rows_read"] = m.target_rows_read
-            target = table.read(buckets=buckets, with_bucket=True)
-
-            # LSN-aware apply: a batch event only wins against table rows it
-            # actually beats. Without this, an OLDER event redelivered in a
-            # LATER micro-batch would clobber newer data (found by the
-            # hypothesis property suite; MOR is immune because it resolves
-            # global max-LSN at read). cur_lsn per batch key is small
-            # (≤ batch keys), so every join here broadcasts — the target is
-            # never shuffled for the probe.
-            batch_keys = winners.select(*key_cols).distinct()
-            cur = (target.join(F.broadcast(batch_keys), on=key_cols,
-                               how="left_semi")
-                   .groupBy(*key_cols)
-                   .agg(F.max(LSN_COL).alias("_cur_lsn")))
-            effective = (
-                winners.join(F.broadcast(cur), on=key_cols, how="left")
-                .filter(F.col("_cur_lsn").isNull()
-                        | (F.col(lsn_col) > F.col("_cur_lsn")))
-                .drop("_cur_lsn")
-            ).cache()
-            survivors = target.join(
-                F.broadcast(effective.select(*key_cols)), on=key_cols,
-                how="left_anti")
-            fields = (list(snap.schema.fields)
-                      + [T.StructField(BUCKET_COL, T.IntegerType()),
-                         T.StructField(LSN_COL, T.LongType()),
-                         T.StructField(OP_COL, T.StringType())])
-            data_cols = [f.name for f in fields]
-            # effective D events are written as TOMBSTONE rows (kept in base,
-            # filtered by public reads) so their LSN keeps guarding the key
-            applied = (
-                effective
-                .withColumn(LSN_COL, F.col(lsn_col).cast("long"))
-                .withColumn(OP_COL, F.col(op_col))
-                .select(*[payload(f)
-                          if f.name not in (BUCKET_COL, LSN_COL, OP_COL)
-                          else F.col(f.name) for f in fields])
-            )
-            merged = survivors.select(*data_cols).unionByName(applied)
-            m.version = table.commit_rewrite(
-                merged, target_files, "merge", snap.schema, snap.schema_id, props)
-            effective.unpersist()
+        # LSN-aware apply: a batch event only wins against table rows it
+        # actually beats. Without this, an OLDER event redelivered in a
+        # LATER micro-batch would clobber newer data (found by the
+        # hypothesis property suite; MOR is immune because it resolves
+        # global max-LSN at read). cur_lsn per batch key is small
+        # (≤ batch keys), so every join here broadcasts — the target is
+        # never shuffled for the probe.
+        batch_keys = winners.select(*key_cols).distinct()
+        cur = (target.join(F.broadcast(batch_keys), on=key_cols,
+                           how="left_semi")
+               .groupBy(*key_cols)
+               .agg(F.max(LSN_COL).alias("_cur_lsn")))
+        effective = (
+            winners.join(F.broadcast(cur), on=key_cols, how="left")
+            .filter(F.col("_cur_lsn").isNull()
+                    | (F.col(lsn_col) > F.col("_cur_lsn")))
+            .drop("_cur_lsn")
+        ).cache()
+        survivors = target.join(
+            F.broadcast(effective.select(*key_cols)), on=key_cols,
+            how="left_anti")
+        fields = (list(snap.schema.fields)
+                  + [T.StructField(BUCKET_COL, T.IntegerType()),
+                     T.StructField(LSN_COL, T.LongType()),
+                     T.StructField(OP_COL, T.StringType())])
+        data_cols = [f.name for f in fields]
+        # effective D events are written as TOMBSTONE rows (kept in base,
+        # filtered by public reads) so their LSN keeps guarding the key
+        applied = (
+            effective
+            .withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+            .withColumn(OP_COL, F.col(op_col))
+            .select(*[payload(f)
+                      if f.name not in (BUCKET_COL, LSN_COL, OP_COL)
+                      else F.col(f.name) for f in fields])
+        )
+        merged = survivors.select(*data_cols).unionByName(applied)
+        m.version = table.commit_rewrite(
+            merged, target_files, "merge", snap.schema, snap.schema_id, props)
+        effective.unpersist()
     finally:
         winners.unpersist()
 

@@ -481,11 +481,12 @@ class LakeTable:
     def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int,
                          kind: str = "base") -> list[FileEntry]:
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        entries: list[FileEntry] = []
         paths = (glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet"))
                  + glob.glob(os.path.join(abs_dir, "*.parquet")))
-        for fp in paths:
+
+        def harvest_one(fp: str) -> FileEntry:
             parent = os.path.basename(os.path.dirname(fp))
             bucket = (int(parent.split("=", 1)[1]) if parent.startswith("_bkt=")
                       else MIXED_BUCKET)
@@ -508,9 +509,16 @@ class LakeTable:
                 if ok and mn is not None and _json_safe(mn) and _json_safe(mx):
                     stats[name] = [mn, mx, nulls]
             rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
-            entries.append(FileEntry(rel, bucket, md.num_rows,
-                                     os.path.getsize(fp), schema_id, stats, kind))
-        return entries
+            return FileEntry(rel, bucket, md.num_rows,
+                             os.path.getsize(fp), schema_id, stats, kind)
+
+        if not paths:
+            return []
+        # footer reads release the GIL in pyarrow I/O — a thread pool drops
+        # this per-commit driver cost from O(files) serial to ~O(files/16),
+        # which matters for per-micro-batch fixed overhead at high trigger rates
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+            return list(pool.map(harvest_one, paths))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if BUCKET_COL in df.columns:
@@ -591,20 +599,29 @@ class LakeTable:
     def append_deltas(self, df: DataFrame,
                       properties: dict[str, Any] | None = None,
                       repartition: bool = True,
-                      bucket_pure: bool = True) -> int:
+                      bucket_pure: bool = True,
+                      props_fn: Any = None) -> int:
         """Merge-on-read write path: append LWW-resolvable change files
         (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
         read, no rewrite; reads resolve via :meth:`_resolve_lww` and
         :meth:`compact_deltas` folds deltas into base files. Pass
         ``repartition=False`` when df is already bucket-partitioned (the
-        merge path) to skip the extra shuffle."""
+        merge path) to skip the extra shuffle.
+
+        ``props_fn(adds) -> dict`` (optional) is called after the data files
+        are written but before the commit doc: lineage derived from the write
+        itself (Observation metrics, per-bucket file stats) lands in the SAME
+        atomic commit with no extra Spark job."""
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
                                       kind="delta", repartition=repartition,
                                       bucket_pure=bucket_pure)
+        props = dict(properties or {})
+        if props_fn is not None:
+            props.update(props_fn(adds))
         return self._write_commit(version, "merge_mor", snap.schema,
-                                  snap.schema_id, adds, [], properties or {})
+                                  snap.schema_id, adds, [], props)
 
     def delta_file_counts(self) -> dict[int, int]:
         """Delta files per bucket; key MIXED_BUCKET counts raw-append files."""
