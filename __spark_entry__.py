@@ -37,8 +37,10 @@ from etl_api_bigquery_spark.lake.merge import merge_cdc_batch  # noqa: E402
 from etl_api_bigquery_spark.operators.dedup import (  # noqa: E402
     exact_dedup, minhash_lsh_candidates, ngram_jaccard, shingles,
     simhash_candidates)
+from etl_api_bigquery_spark.functions.transforms import (  # noqa: E402
+    parse_date_ddmmyyyy)
 from etl_api_bigquery_spark.operators.similarity import (  # noqa: E402
-    cosine, cosine_topk, lsh_topk)
+    cosine, cosine_topk, ivf_topk, lsh_topk, near_dup_pairs)
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
@@ -268,6 +270,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_join_parts_sold"] = semi_join_parts_sold
 
     # ---------------- aggregates (§2.5) ------------------------------------
+    def latest_event_per_day(spark, sf):
+        # O2: max-by within partition (latest file per partition analogue,
+        # sync_gcs_to_bigquery.py:219-221) — tie-safe via composite key
+        ev = _t(spark, sf, "events")
+        okey = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+        return (ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                           .alias("day"))
+                .agg(F.max_by("event_id", okey).alias("latest_event_id"),
+                     F.count("*").alias("n")))
+    q["latest_event_per_day"] = latest_event_per_day
+
+    def parse_ddmmyyyy_dates(spark, sf):
+        # P5: guarded dd/mm/yyyy parser — annotated + out-of-range -> NULL
+        ev = _t(spark, sf, "events").filter("event_id < 2000")
+        raw = (F.when(F.col("event_id") % 5 == 0,
+                      F.concat(F.lit("(approx) "),
+                               F.date_format("ts", "dd/MM/yyyy")))
+               .when(F.col("event_id") % 5 == 1, F.lit("99/99/2024"))
+               .otherwise(F.date_format("ts", "dd/MM/yyyy")))
+        return ev.select(
+            "event_id", raw.alias("raw"),
+            F.date_format(parse_date_ddmmyyyy(raw), "yyyy-MM-dd")
+             .alias("parsed"))
+    q["parse_ddmmyyyy_dates"] = parse_ddmmyyyy_dates
+
     def dup_detection_having(spark, sf):
         o = _t(spark, sf, "orders")
         return (o.groupBy("o_custkey").agg(F.count("*").alias("dup_count"))
@@ -383,6 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("cos", 4).alias("cos_r")).drop("cos")
     q["cosine_topk_exact"] = cosine_topk_exact
 
+    def embedding_near_dup_pairs(spark, sf):
+        # embedding-cosine near-duplicate detection (semantic dedup)
+        emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
+        return near_dup_pairs(emb, threshold=0.35)
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
     # ---------------- rows-only ops (no SQL-expressible oracle) ------------
     def minhash_lsh_pairs(spark, sf):
         d = _t(spark, sf, "documents").filter("doc_id < 150")
@@ -400,6 +434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8)
     q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_ivf_topk(spark, sf):
+        # IVF-Flat: deterministic coarse k-means cells + nprobe search
+        emb = _t(spark, sf, "embeddings")
+        return ivf_topk(emb, emb.filter("vec_id < 5"), k=3,
+                        n_centroids=8, nprobe=3, lloyd_iters=1)
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     def multimodal_features(spark, sf):
         media = synthetic_media(spark, n=60)
@@ -476,6 +517,42 @@ def oracle_sql() -> dict[str, str]:
                    AS n_unparsed,
                CAST(SUM(k) AS BIGINT) AS sum_k
         FROM x GROUP BY k % 10
+    """
+
+    o["latest_event_per_day"] = """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               arg_max(event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS latest_event_id,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """
+
+    o["parse_ddmmyyyy_dates"] = r"""
+        WITH x AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 5 = 0
+                        THEN '(approx) ' || strftime(ts, '%d/%m/%Y')
+                      WHEN event_id % 5 = 1 THEN '99/99/2024'
+                      ELSE strftime(ts, '%d/%m/%Y') END AS raw
+          FROM events WHERE event_id < 2000)
+        SELECT event_id, raw,
+               strftime(CASE WHEN regexp_matches(raw, '^\d{1,2}/\d{1,2}/\d{4}$')
+                             THEN try_strptime(raw, '%d/%m/%Y') END,
+                        '%Y-%m-%d') AS parsed
+        FROM x
+    """
+
+    o["embedding_near_dup_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cos_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 300 AND b.vec_id < 300
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
     """
 
     o["widen_and_project"] = """

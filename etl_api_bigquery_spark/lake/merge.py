@@ -225,15 +225,22 @@ def merge_cdc_batch(
     snap = table.snapshot()
     key_cols = table.key_cols
 
-    # ---- raw mode: zero-shuffle append; no per-batch stats jobs at all.
+    # ---- raw mode: append with NO full-row shuffle; no per-batch stats jobs.
     # Per-bucket lineage comes free from the harvested file entries.
+    # With ``prefilter`` (default) the only shuffle in the whole batch is the
+    # NARROW (keys, lsn) aggregation — losing LWW events are dropped by a
+    # broadcast semi-join BEFORE any payload bytes move, so L0 stays ~keys-
+    # sized; read-side max-LSN resolution absorbs any residual same-max-LSN
+    # ties exactly as it absorbs cross-file duplicates.
     if mode == "raw":
         props: dict[str, Any] = dict(extra_props or {})
         if txn_app is not None:
             props["txn_app"] = txn_app
             props["txn_batch"] = batch_id
         snap0 = table.snapshot()
-        raw = events.withColumn(BUCKET_COL, table.bucket_expr())
+        src = (lww_prefilter(events, key_cols, lsn_col) if prefilter
+               else events)
+        raw = src.withColumn(BUCKET_COL, table.bucket_expr())
         delta = raw.select(
             *[(F.col(f.name).cast(f.dataType).alias(f.name)
                if f.name in raw.columns
@@ -246,7 +253,7 @@ def merge_cdc_batch(
                                         repartition=False, bucket_pure=False)
         adds = [e for e in table.snapshot(m.version).files.values()
                 if e.path.startswith(f"data/c{m.version:010d}")]
-        m.keys = sum(e.rows for e in adds)   # events appended (incl. dups)
+        m.keys = sum(e.rows for e in adds)   # events appended (~keys when prefiltered)
         m.buckets_touched = table.num_buckets
         n_deltas = sum(table.delta_file_counts().values())
         if n_deltas >= auto_compact_deltas:

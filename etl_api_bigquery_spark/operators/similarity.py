@@ -13,6 +13,14 @@ the training-data-pipeline surface. Two strategies:
   xxhash — no driver-side randomness, replay-safe); candidates share a band;
   exact re-scoring only within buckets. The scale path: shuffle is bounded by
   bucket sizes instead of |corpus|.
+* :func:`ivf_topk` — inverted-file index: corpus partitioned into coarse
+  k-means cells (deterministic seeding + columnar Lloyd iterations), queries
+  probe only their ``nprobe`` nearest cells. The other standard ANN scale
+  path (FAISS-style IVF-Flat): at 100 TB the cell assignment is a bounded
+  broadcast join and search cost drops by ~n_centroids/nprobe.
+* :func:`near_dup_pairs` — embedding-cosine near-duplicate detection: all
+  pairs above a cosine threshold (the semantic-dedup primitive for training
+  corpora).
 """
 
 from __future__ import annotations
@@ -53,6 +61,91 @@ def cosine_topk(
             .filter(F.col("rk") <= k)
             .select("q_id", F.col("n_id").alias("neighbor_id"),
                     F.round("cos", 6).alias("cos"), "rk"))
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, id_col: str,
+                  vec_col: str, nprobe: int) -> DataFrame:
+    """Nearest-``nprobe`` centroid cells per vector (broadcast argmax join)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = (df.select(F.col(id_col).alias("_id"), v.alias("_vec"))
+              .join(F.broadcast(centroids), how="cross")
+              .withColumn("_sim", cosine(F.col("_vec"), F.col("_cvec"))))
+    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("_cell"))
+    return (scored.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= nprobe)
+            .select("_id", "_vec", "_cell"))
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16, lloyd_iters: int = 1,
+) -> DataFrame:
+    """Coarse quantizer for IVF: random-partition init (cell = hash(id) mod C
+    — deterministic, no RNG state, no global sort) + ``lloyd_iters`` rounds
+    of Lloyd's k-means, fully columnar — assignment is a broadcast argmax
+    join and the centroid update averages per (cell, dimension) via
+    posexplode. Every step is a distributed aggregation; replayable at any
+    scale."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def mean_vecs(assigned: DataFrame) -> DataFrame:
+        return (assigned
+                .select("_cell", F.posexplode("_vec").alias("_pos", "_x"))
+                .groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
+                .groupBy("_cell")
+                .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m")))
+                     .alias("_pm"))
+                .select("_cell", F.transform(F.col("_pm"), lambda s: s["_m"])
+                        .alias("_cvec")))
+
+    cents = mean_vecs(corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).cast("int")
+        .alias("_cell"), v.alias("_vec")))
+    for _ in range(lloyd_iters):
+        assigned = _assign_cells(corpus, cents, id_col, vec_col, nprobe=1)
+        cents = mean_vecs(assigned)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, nprobe: int = 4, lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF-Flat ANN: exact rescoring restricted to the query's ``nprobe``
+    nearest cells. Recall < 1 when a true neighbor lives in an unprobed cell;
+    tune n_centroids (cell granularity) and nprobe (recall/cost)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, lloyd_iters)
+    cb = _assign_cells(corpus, cents, id_col, vec_col, nprobe=1)
+    qb = _assign_cells(queries, cents, id_col, vec_col, nprobe=nprobe)
+    cand = (cb.withColumnRenamed("_id", "n_id").withColumnRenamed("_vec", "n_vec")
+            .join(qb.withColumnRenamed("_id", "q_id")
+                    .withColumnRenamed("_vec", "q_vec"), on="_cell")
+            .filter(F.col("n_id") != F.col("q_id"))
+            .dropDuplicates(["q_id", "n_id"])
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", F.col("n_id").alias("neighbor_id"),
+                    F.round("cos", 6).alias("cos"), "rk"))
+
+
+def near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
+    — the semantic-dedup primitive. Brute-force all-pairs; at corpus scale
+    compose with :func:`ivf_topk`/:func:`lsh_topk` cells to bound the join."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos_r")))
 
 
 def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int) -> Column:

@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--feed-dir", required=True)
     ap.add_argument("--table-dir", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--mode", choices=["cow", "mor", "raw"], default="mor")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--max-files-per-trigger", type=int, default=1)

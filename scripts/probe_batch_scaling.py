@@ -60,7 +60,9 @@ def main() -> None:
         t_read = time.monotonic() - t0
         t0 = time.monotonic()
         m = merge_cdc_batch(table, batch, batch_id=i, txn_app="probe",
-                            salt_buckets=8, mode="mor", auto_compact_deltas=10**9)
+                            salt_buckets=8,
+                            mode=os.environ.get("BENCH_MODE", "mor"),
+                            auto_compact_deltas=10**9)
         t_merge = time.monotonic() - t0
         per_batch.append({"epoch": ep, "read_plan_s": round(t_read, 3),
                           "merge_s": round(t_merge, 3), "keys": m.keys})

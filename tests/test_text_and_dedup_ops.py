@@ -104,6 +104,39 @@ def test_cosine_topk_exact_vs_lsh_recall(spark):
     assert approx.count() >= 3
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    import math
+    from etl_api_bigquery_spark.operators.similarity import ivf_topk
+    vecs = [(i, [math.cos(i * 0.3 + d * 0.01) for d in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 3")
+    exact_top1 = {r.q_id: r.neighbor_id
+                  for r in cosine_topk(df, q, k=1).collect()}
+    approx = ivf_topk(df, q, k=3, n_centroids=4, nprobe=2, lloyd_iters=1)
+    rows = approx.collect()
+    assert len(rows) >= 3 and all(r.cos <= 1.000001 for r in rows)
+    # nprobe=2/4 cells on smooth data: top-1 should mostly survive probing
+    top1 = {r.q_id: r.neighbor_id for r in rows if r.rk == 1}
+    hits = sum(1 for k, v in top1.items() if exact_top1.get(k) == v)
+    assert hits >= 2
+    # deterministic: same input -> identical result set (replay-safe k-means)
+    again = ivf_topk(df, q, k=3, n_centroids=4, nprobe=2, lloyd_iters=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_near_dup_pairs_threshold_and_orientation(spark):
+    from etl_api_bigquery_spark.operators.similarity import near_dup_pairs
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = near_dup_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].cos_r > 0.99
+
+
 def test_quality_report_and_dup_keys(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, None), (3, "c")], ["k", "v"])
