@@ -343,6 +343,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_orders", "first_day", "last_day"))
     q["gold_customer_ltv"] = gold_customer_ltv
 
+    def gold_product_sales(spark, sf):
+        from etl_api_bigquery_spark.operators.gold import product_sales_metrics
+        return product_sales_metrics(_t(spark, sf, "lineitem"),
+                                     _t(spark, sf, "part"))
+    q["gold_product_sales"] = gold_product_sales
+
+    def gold_inventory_analytics(spark, sf):
+        from etl_api_bigquery_spark.operators.gold import inventory_analytics
+        return inventory_analytics(_t(spark, sf, "lineitem"),
+                                   _t(spark, sf, "supplier"))
+    q["gold_inventory_analytics"] = gold_inventory_analytics
+
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -517,6 +529,26 @@ def oracle_sql() -> dict[str, str]:
                    AS n_unparsed,
                CAST(SUM(k) AS BIGINT) AS sum_k
         FROM x GROUP BY k % 10
+    """
+
+    o["gold_product_sales"] = """
+        SELECT p_partkey, p_name, p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DECIMAL(18,4)) AS revenue,
+               ROUND(SUM(l_quantity), 2) AS units_sold,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name, p_brand
+    """
+
+    o["gold_inventory_analytics"] = """
+        SELECT s_suppkey, s_name,
+               ROUND(SUM(l_quantity), 2) AS units_shipped,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
     """
 
     o["latest_event_per_day"] = """

@@ -66,15 +66,14 @@ def main() -> None:
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # ---- CDC replay sizing: 10M events/sf-unit => 1M at sf0.1
-    # (BENCH_EVENTS / BENCH_EPOCHS override for scaling runs, where batches
-    # must be large enough that compute dominates per-trigger fixed costs)
+    # ---- CDC replay sizing: 40M events/sf-unit => 4M at sf0.1, in few
+    # large micro-batches — the compute-dominated regime that represents
+    # 10^10-event production, where per-trigger fixed costs amortize away.
+    # (BENCH_EVENTS / BENCH_EPOCHS override for scaling runs.)
     n_events = int(os.environ.get("BENCH_EVENTS", 0)) or max(
-        50_000, int(10_000_000 * sf))
+        50_000, int(40_000_000 * sf))
     n_keys = max(5_000, n_events // 10)
-    # fewer, larger micro-batches: the 10^10-event production regime is
-    # compute-dominated batches, not per-trigger fixed cost
-    n_epochs = int(os.environ.get("BENCH_EPOCHS", "5"))
+    n_epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
     work = f"/tmp/bench_cdc_{sf}_{CPUS}"
     shutil.rmtree(work, ignore_errors=True)
     table_dir, ckpt = (f"{work}/silver", f"{work}/ckpt")

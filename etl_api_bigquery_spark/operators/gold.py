@@ -36,9 +36,14 @@ def customer_lifetime_value(orders: DataFrame, customers: DataFrame,
 def product_sales_metrics(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     j = lineitem.join(F.broadcast(part),
                       lineitem["l_partkey"] == part["p_partkey"])
+    # money arithmetic fully in DECIMAL: the inputs are exact 2dp values, so
+    # price(2dp) x (1 - discount(2dp)) is exact at 4dp and the sum is exact
+    # and associative — bit-stable at any parallelism (double summation is
+    # order-dependent, and task order is nondeterministic on a real cluster)
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
     return (j.groupBy("p_partkey", "p_name", "p_brand")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
                  F.round(F.sum("l_quantity"), 2).alias("units_sold"),
                  F.count("*").alias("n_lines")))
 
