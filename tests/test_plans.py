@@ -87,3 +87,32 @@ def test_merge_reads_only_touched_buckets(spark, tmp_table_dir):
     # read amplification bounded by one bucket, not the table
     assert m.target_rows_read < total_rows / 4
     assert t.read().filter("path = 'p1'").collect()[0].content == "v1"
+
+
+def test_merge_dedup_pipeline_shuffle_budget(spark, tmp_table_dir):
+    """The prefiltered dedup pipeline pays exactly: one NARROW (keys,lsn)
+    exchange with map-side partial_max, one broadcast of the winner-LSN set,
+    and one full-row bucket exchange — nothing more. Regression guard for the
+    shuffle budget documented in README 'Scale design'."""
+    from pyspark.sql import types as T
+
+    from etl_api_bigquery_spark.cdc import change_feed
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.lake.merge import lww_dedup, lww_prefilter
+    from etl_api_bigquery_spark.lake.table import BUCKET_COL
+    from etl_api_bigquery_spark.plans.inspect import (count_exchanges,
+                                                      executed_plan_text)
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    t = LakeTable.create(spark, tmp_table_dir + "/t", schema,
+                         key_cols=["repo", "path"], num_buckets=16)
+    ev = change_feed(spark, n_events=20_000, n_keys=2_000, n_epochs=2)
+    src = lww_prefilter(ev, ["repo", "path"], "lsn")
+    evb = (src.withColumn(BUCKET_COL, t.bucket_expr())
+           .repartition(t.num_buckets, F.col(BUCKET_COL)))
+    winners = lww_dedup(evb, [BUCKET_COL, "repo", "path"], "lsn", 4)
+    plan = executed_plan_text(winners)
+    assert count_exchanges(winners) == 2
+    assert plan.count("BroadcastExchange") == 1
+    assert "partial_max" in plan  # map-side combine on the narrow agg
