@@ -114,7 +114,10 @@ def main() -> None:
 
     runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
                              salt_buckets=8, mode="mor",
-                             auto_compact_deltas=8,
+                             # threshold < n_epochs so at least one
+                             # compaction lands INSIDE the timed window —
+                             # steady-state ingest pays amortized compaction
+                             auto_compact_deltas=max(2, n_epochs - 1),
                              max_files_per_trigger=files_per_epoch)
     t0 = time.monotonic()
     runner.run_available_now(timeout_sec=3600)
@@ -156,6 +159,8 @@ def main() -> None:
         "n_epochs": n_epochs,
         "cpus": CPUS,
         "replay_rows_matched": match["total"],
+        "n_compactions_in_window": sum(
+            1 for h in table.history() if h["action"] == "compact_deltas"),
         "queries": qtimes,
         "sf": sf,
     }
