@@ -112,8 +112,10 @@ def main() -> None:
         f"slots free-riding on {os.cpu_count()} host cores. Levels run "
         f"interleaved for {REPS} rounds; each level scored by its best round "
         "(the host VM's effective CPU varies minute-to-minute; observed 3x "
-        "swings on identical runs). 8M-event micro-batches: the "
-        "compute-dominated regime representative of 10^10-event production.",
+        "swings on identical runs). "
+        f"{int(int(os.environ.get('BENCH_EVENTS', '24000000')) / int(os.environ.get('BENCH_EPOCHS', '3')) / 1e6)}M-event "
+        "micro-batches with amortized compaction inside the timed window: "
+        "the regime representative of 10^10-event production.",
         "",
         "| parallelism | best replay sec | events/sec (total) | events/sec (steady, min-batch) |",
         "|---|---|---|---|",
