@@ -62,7 +62,10 @@ def main() -> None:
     from etl_api_bigquery_spark.streaming import CdcStreamRunner
 
     sf = sf_from_dir(SF_DIR)
-    spark = get_spark(app_name=f"bench-sf{sf}", master=f"local[{CPUS}]",
+    # SPARK_MASTER=spark://... runs the same bench against a standalone
+    # cluster (multi-executor form); default is in-process local[CPUS]
+    master = os.environ.get("SPARK_MASTER") or f"local[{CPUS}]"
+    spark = get_spark(app_name=f"bench-sf{sf}", master=master,
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # env-provided overrides, e.g. executor sizing for standalone-cluster
+    # benches: SPARK_EXTRA_CONF="spark.executor.cores=4;spark.cores.max=16"
+    env_extra = os.environ.get("SPARK_EXTRA_CONF", "")
+    for pair in filter(None, env_extra.split(";")):
+        k, _, v = pair.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
