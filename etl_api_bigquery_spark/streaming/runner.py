@@ -41,6 +41,12 @@ class CdcStreamRunner:
     mode: str = "cow"                      # "cow" | "mor" write strategy
     auto_compact_deltas: int = 16
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # optional stateful pre-filter (applyInPandasWithState): drops events
+    # at-or-below each key's high-water LSN BEFORE the sink, cutting merge
+    # traffic on redelivery-heavy at-least-once feeds. Costs one extra
+    # key-shuffle of full rows, so off by default — the fence + LWW merge
+    # already guarantee correctness without it.
+    stateful_staleness_filter: bool = False
     metrics: list[MergeMetrics] = field(default_factory=list)
     fail_after_batches: int | None = None  # test hook: crash mid-stream
 
@@ -66,6 +72,9 @@ class CdcStreamRunner:
             .option("latestFirst", "false")
             .parquet(self.feed_dir)
         )
+        if self.stateful_staleness_filter:
+            from .stateful import lww_staleness_filter
+            stream = lww_staleness_filter(stream, self.table.key_cols)
         q = (
             stream.writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["cow", "mor", "raw"], default="mor")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--stateful-filter", action="store_true",
+                    help="stateful LWW staleness pre-filter "
+                         "(applyInPandasWithState) before the MERGE sink")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--txn-app", default="cdc-ingest")
     ap.add_argument("--generate", type=int, default=0,
@@ -67,7 +70,8 @@ def main() -> None:
     runner = CdcStreamRunner(
         spark, table, args.feed_dir, args.checkpoint, txn_app=args.txn_app,
         max_files_per_trigger=args.max_files_per_trigger,
-        salt_buckets=args.salt_buckets, mode=args.mode)
+        salt_buckets=args.salt_buckets, mode=args.mode,
+        stateful_staleness_filter=args.stateful_filter)
     t0 = time.monotonic()
     metrics = runner.run_available_now()
     dt = time.monotonic() - t0
