@@ -106,10 +106,11 @@ def main() -> None:
     # charged to the first timed batch — production measures steady state
     from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
     wtab = LakeTable.create(spark, f"{work}/warmup", silver_schema,
-                            key_cols=["repo", "path"], num_buckets=4)
-    merge_cdc_batch(wtab, change_feed(spark, n_events=20_000, n_keys=2_000,
+                            key_cols=["repo", "path"],
+                            num_buckets=max(32, CPUS * 2))
+    merge_cdc_batch(wtab, change_feed(spark, n_events=200_000, n_keys=20_000,
                                       n_epochs=1),
-                    batch_id=0, txn_app="warmup", mode="mor")
+                    batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
 
     table = LakeTable.create(spark, table_dir, silver_schema,
                              key_cols=["repo", "path"],
