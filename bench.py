@@ -34,9 +34,12 @@ BENCH_QUERIES = [
     "q3_top_open_orders",
     "lww_latest_event_per_user",
     "gold_customer_ltv",
+    "gold_product_sales",
     "token_stats",
     "minhash_lsh_pairs",
+    "embedding_near_dup_pairs",
     "cosine_topk_exact",
+    "ann_ivf_topk",
     "cdc_merge_apply",
 ]
 
