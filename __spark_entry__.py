@@ -355,6 +355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    _t(spark, sf, "supplier"))
     q["gold_inventory_analytics"] = gold_inventory_analytics
 
+    def gold_product_summary(spark, sf):
+        # the fifth gold table (ref tests/integration/test_gold_aggregation.py)
+        from etl_api_bigquery_spark.operators.gold import (
+            product_sales_metrics, product_summary)
+        return product_summary(product_sales_metrics(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "part")))
+    q["gold_product_summary"] = gold_product_summary
+
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -531,15 +539,29 @@ def oracle_sql() -> dict[str, str]:
         FROM x GROUP BY k % 10
     """
 
-    o["gold_product_sales"] = """
+    # round-in-double-domain BEFORE the decimal cast, identically on both
+    # sides: double->decimal cast rounding differs between engines at
+    # .xx5-edge doubles (Spark HALF_UP vs DuckDB round-half-even) and flaked
+    # the round-1 hash; a rounded double is never at a cast midpoint.
+    _PRODUCT_SALES_SQL = """
         SELECT p_partkey, p_name, p_brand,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
-                    AS DECIMAL(18,4)) AS revenue,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
+                        * (1 - CAST(ROUND(l_discount, 2) AS DECIMAL(12,2))))
+                    AS DECIMAL(38,4)) AS revenue,
                ROUND(SUM(l_quantity), 2) AS units_sold,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_partkey, p_name, p_brand
+    """
+    o["gold_product_sales"] = _PRODUCT_SALES_SQL
+
+    o["gold_product_summary"] = f"""
+        WITH m AS ({_PRODUCT_SALES_SQL})
+        SELECT p_brand,
+               CAST(SUM(revenue) AS DECIMAL(38,4)) AS brand_revenue,
+               COUNT(*) AS n_products,
+               CAST(MAX(revenue) AS DECIMAL(38,4)) AS top_product_revenue
+        FROM m GROUP BY p_brand
     """
 
     o["gold_inventory_analytics"] = """

@@ -94,11 +94,19 @@ def main() -> None:
     feed_dir = f"/tmp/bench_feed_{n_events}_{n_keys}_{n_epochs}_{files_per_epoch}"
     marker = os.path.join(feed_dir, "_STAGED")
     if not os.path.exists(marker):
-        shutil.rmtree(feed_dir, ignore_errors=True)
+        # stage into a private temp dir, then atomically rename into place:
+        # two bench processes racing on the same params can never observe a
+        # half-staged feed or rmtree each other's work
+        tmp_dir = f"{feed_dir}.staging.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         feed = change_feed(spark, n_events=n_events, n_keys=n_keys,
                            n_epochs=n_epochs)
-        write_feed_as_epoch_files(feed, feed_dir, files_per_epoch)  # untimed
-        open(marker, "w").close()
+        write_feed_as_epoch_files(feed, tmp_dir, files_per_epoch)  # untimed
+        open(os.path.join(tmp_dir, "_STAGED"), "w").close()
+        try:
+            os.rename(tmp_dir, feed_dir)
+        except OSError:  # another process won the race — use its copy
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     silver_schema = T.StructType([
         T.StructField(c, T.StringType()) for c in

@@ -38,11 +38,14 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space. ``try_divide``
+    (NULL-on-zero, coalesced to 0.0) because Spark's ``when`` does not
+    short-circuit — a plain ``/`` would throw under ANSI on empty text."""
     c = (F.col(col) if isinstance(col, str) else col)
     stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
-    return F.when(F.length(c) > 0,
-                  F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+    return F.coalesce(
+        F.try_divide(F.length(stripped).cast("double"), F.length(c)),
+        F.lit(0.0))
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
@@ -50,14 +53,15 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return F.coalesce(
+        F.try_divide(hits.cast("double"), F.size(toks)), F.lit(0.0))
 
 
 def mean_token_len(col: Column | str) -> Column:
     toks = tokens(col)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0,
-                  total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    return F.coalesce(
+        F.try_divide(total.cast("double"), F.size(toks)), F.lit(0.0))
 
 
 def quality_score(col: Column | str) -> Column:

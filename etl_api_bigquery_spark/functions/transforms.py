@@ -55,12 +55,14 @@ def explode_children(
 
 
 def safe_cast(col: Column | str, dtype: str) -> Column:
-    """NULL-on-failure cast (requires spark.sql.ansi.enabled=false, which the
-    engine session sets). Port of safe_int/safe_float/safe_str
+    """NULL-on-failure cast. Port of safe_int/safe_float/safe_str
     (one_office/components/loader.py:64-89): empty string and uncastable
-    values become NULL instead of raising."""
+    values become NULL instead of raising. Built on ``try_cast`` so the
+    semantics hold under ANY session config — including ANSI mode (the
+    Spark 4 default), where a plain cast would throw."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c.cast("string")) == "", None).otherwise(c.cast(dtype))
+    return F.when(F.trim(c.cast("string")) == "", None).otherwise(
+        c.try_cast(dtype))
 
 
 def widen_money(col: Column | str) -> Column:
@@ -74,32 +76,39 @@ def widen_money(col: Column | str) -> Column:
 def parse_date_iso(col: Column | str) -> Column:
     """ISO date parse, NULL on failure — identical semantics to the reference's
     strptime('%Y-%m-%d') with try/except (loader.py:89-101) and BigQuery
-    SAFE.PARSE_DATE (query_flatten.sql:10)."""
+    SAFE.PARSE_DATE (query_flatten.sql:10). ``try_to_timestamp`` (not
+    ``to_date``) so malformed input yields NULL even under ANSI mode."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c.cast("string"), "yyyy-MM-dd")
+    return F.try_to_timestamp(c.cast("string"), F.lit("yyyy-MM-dd")).cast("date")
 
 
 def parse_date_ddmmyyyy(col: Column | str) -> Column:
     """Guarded dd/mm/yyyy parser — port of
     one_office/components/loader.py:16-61: strip; reject annotated values
     (anything beyond the bare date, e.g. "(dự kiến) 01/01/2025"); validate
-    day/month/year ranges 1900-2100; emit DATE or NULL."""
+    day/month/year ranges 1900-2100; emit DATE or NULL.
+
+    ANSI-safe by construction: each group is pulled with its own
+    ``regexp_extract`` (empty string on no match) and ``try_cast`` to int
+    (NULL on empty), and the final parse is ``try_to_timestamp`` so calendar-
+    invalid dates (31/02/...) yield NULL instead of raising. ``when`` does
+    NOT short-circuit in Spark, so no sub-expression here may ever throw."""
     c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
-    clean = F.regexp_extract(c, r"^(\d{1,2})/(\d{1,2})/(\d{4})$", 0)
-    d = F.split(clean, "/")
-    day = F.element_at(d, 1).cast("int")
-    mon = F.element_at(d, 2).cast("int")
-    yr = F.element_at(d, 3).cast("int")
+    pat = r"^(\d{1,2})/(\d{1,2})/(\d{4})$"
+    day = F.regexp_extract(c, pat, 1).try_cast("int")
+    mon = F.regexp_extract(c, pat, 2).try_cast("int")
+    yr = F.regexp_extract(c, pat, 3).try_cast("int")
     in_range = (
         (day >= 1) & (day <= 31) & (mon >= 1) & (mon <= 12)
         & (yr >= 1900) & (yr <= 2100)
     )
     return F.when(
-        (clean != "") & in_range,
-        F.to_date(F.concat_ws("-", yr.cast("string"),
-                              F.lpad(mon.cast("string"), 2, "0"),
-                              F.lpad(day.cast("string"), 2, "0")),
-                  "yyyy-MM-dd"),
+        in_range,
+        F.try_to_timestamp(
+            F.concat_ws("-", yr.cast("string"),
+                        F.lpad(mon.cast("string"), 2, "0"),
+                        F.lpad(day.cast("string"), 2, "0")),
+            F.lit("yyyy-MM-dd")).cast("date"),
     )
 
 

@@ -127,14 +127,31 @@ def lww_prefilter(
     caller still runs :func:`lww_dedup` on the filtered rows, which is cheap
     because survivors ≈ distinct keys.
 
-    Memory bound: the broadcast is ~8 bytes × (keys in batch) per executor.
-    Fine up to tens of millions of keys per micro-batch; for larger batches
-    disable prefiltering (``prefilter=False`` on merge_cdc_batch) or raise
-    executor memory."""
+    The semi-join is on ``key_cols + lsn`` (not lsn alone): joining on the
+    bare LSN would let an event of a DIFFERENT key sharing a winning LSN slip
+    through (harmless but wasteful), and with epoch-style non-unique LSNs the
+    filter would pass nearly everything while still paying its shuffle.
+    Key columns match null-safely (``<=>``) — NULL-keyed legacy rows are a
+    supported input (sentinel bucketing; the reference repairs them in MERGE,
+    loader.py:517-519).
+
+    Events with NULL lsn never equi-match and are filtered out here — by
+    contract (documented on :func:`merge_cdc_batch`) the CDC envelope requires
+    a total, non-NULL LSN order; NULL-lsn rows are undefined input that the
+    unfiltered path would mangle anyway (``max_by`` over a NULL ordering key).
+
+    Memory bound: the broadcast is ~(key bytes + 8) × (keys in batch) per
+    executor. Fine up to tens of millions of keys per micro-batch; for larger
+    batches disable prefiltering (``prefilter=False`` on merge_cdc_batch) or
+    raise executor memory."""
     winners = (events.groupBy(*key_cols)
                .agg(F.max(lsn_col).alias(lsn_col))
-               .select(lsn_col))
-    return events.join(F.broadcast(winners), on=lsn_col, how="left_semi")
+               .select(*[F.col(k).alias(f"_w_{k}") for k in key_cols],
+                       F.col(lsn_col).alias("_w_lsn")))
+    cond = F.col(lsn_col) == F.col("_w_lsn")
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_w_{k}"))
+    return events.join(F.broadcast(winners), on=cond, how="left_semi")
 
 
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
@@ -182,13 +199,22 @@ def merge_cdc_batch(
     extra_props: dict[str, Any] | None = None,
     mode: str = "cow",
     auto_compact_deltas: int = 16,
-    prefilter: bool = True,
+    prefilter: bool | None = None,
 ) -> MergeMetrics:
     """Apply one micro-batch of CDC envelopes to the table, exactly once.
 
     Envelope rows: key columns + payload columns + (lsn, op[, epoch, event_ts]).
     op semantics: I/U upsert (U on an absent key inserts — same as the
-    reference MERGE), D deletes. LWW by lsn.
+    reference MERGE), D deletes. LWW by lsn. **Contract: lsn is non-NULL and
+    totally ordered per key** — NULL-lsn rows are undefined input (the
+    prefilter drops them; without it ``max_by`` over a NULL ordering key
+    would corrupt the winner row).
+
+    ``prefilter`` defaults to ON for cow/mor (losing events never reach the
+    payload shuffle) and OFF for raw — raw mode's contract is "L0 preserves
+    the full event history for audit/replay", which a prefilter would
+    silently break; pass ``prefilter=True`` explicitly to trade that
+    history for ~r× less L0 write volume.
 
     Write strategies (both yield identical read results):
 
@@ -207,6 +233,8 @@ def merge_cdc_batch(
       ``auto_compact_deltas`` total delta files) pays the deferred cost.
     """
     t0 = time.monotonic()
+    if prefilter is None:
+        prefilter = mode != "raw"
     m = MergeMetrics(batch_id=batch_id)
 
     # ---- exactly-once fence: skip batches already committed (idempotent
@@ -227,11 +255,12 @@ def merge_cdc_batch(
 
     # ---- raw mode: append with NO full-row shuffle; no per-batch stats jobs.
     # Per-bucket lineage comes free from the harvested file entries.
-    # With ``prefilter`` (default) the only shuffle in the whole batch is the
-    # NARROW (keys, lsn) aggregation — losing LWW events are dropped by a
-    # broadcast semi-join BEFORE any payload bytes move, so L0 stays ~keys-
-    # sized; read-side max-LSN resolution absorbs any residual same-max-LSN
-    # ties exactly as it absorbs cross-file duplicates.
+    # Prefilter is OFF by default here (L0 keeps the full event history);
+    # with an explicit ``prefilter=True`` the only shuffle in the whole batch
+    # is the NARROW (keys, lsn) aggregation — losing LWW events are dropped
+    # by a broadcast semi-join BEFORE any payload bytes move, so L0 stays
+    # ~keys-sized; read-side max-LSN resolution absorbs any residual
+    # same-max-LSN ties exactly as it absorbs cross-file duplicates.
     if mode == "raw":
         props: dict[str, Any] = dict(extra_props or {})
         if txn_app is not None:

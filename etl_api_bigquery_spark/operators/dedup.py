@@ -57,10 +57,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
-    """True Jaccard similarity of two shingle arrays."""
+    """True Jaccard similarity of two shingle arrays. ``try_divide`` so two
+    empty shingle sets yield 0.0 under any session config (ANSI included)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return F.coalesce(F.try_divide(inter.cast("double"), union), F.lit(0.0))
 
 
 # ------------------------------------------------------------------ MinHash

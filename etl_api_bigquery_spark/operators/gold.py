@@ -36,23 +36,34 @@ def customer_lifetime_value(orders: DataFrame, customers: DataFrame,
 def product_sales_metrics(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     j = lineitem.join(F.broadcast(part),
                       lineitem["l_partkey"] == part["p_partkey"])
-    # money arithmetic fully in DECIMAL: the inputs are exact 2dp values, so
-    # price(2dp) x (1 - discount(2dp)) is exact at 4dp and the sum is exact
-    # and associative — bit-stable at any parallelism (double summation is
-    # order-dependent, and task order is nondeterministic on a real cluster)
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)")))
+    # money arithmetic fully in DECIMAL: the inputs are nominally-2dp doubles,
+    # so quantize EXPLICITLY in the double domain (round to 2) BEFORE the
+    # decimal cast — double->decimal cast-rounding is engine-specific
+    # (Spark HALF_UP vs DuckDB half-even) on .xx5-edge doubles and flaked the
+    # round-1 value hash; round-then-cast is unambiguous because a rounded
+    # double is never at a cast midpoint. After the cast everything is exact
+    # decimal arithmetic — bit-stable at any parallelism (double summation is
+    # order-dependent, and task order is nondeterministic on a real cluster).
+    # Result type decimal(38,4): sum over 10^10 rows of decimal(26,4) terms
+    # cannot overflow 38 digits (a silent-NULL hazard at 18,4 under
+    # ansi=false; an error under ANSI).
+    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(12,2)")
+    disc = F.round(F.col("l_discount"), 2).cast("decimal(12,2)")
+    rev = price * (F.lit(1) - disc)
     return (j.groupBy("p_partkey", "p_name", "p_brand")
-            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
                  F.round(F.sum("l_quantity"), 2).alias("units_sold"),
                  F.count("*").alias("n_lines")))
 
 
 def product_summary(metrics: DataFrame) -> DataFrame:
+    """The fifth gold table (test_gold_aggregation.py:42-113): per-brand
+    roll-up of product_sales_metrics. Decimal in, decimal out — exact."""
     return (metrics.groupBy("p_brand")
-            .agg(F.round(F.sum("revenue"), 2).alias("brand_revenue"),
+            .agg(F.sum("revenue").cast("decimal(38,4)").alias("brand_revenue"),
                  F.count("*").alias("n_products"),
-                 F.round(F.max("revenue"), 2).alias("top_product_revenue")))
+                 F.max("revenue").cast("decimal(38,4)")
+                 .alias("top_product_revenue")))
 
 
 def inventory_analytics(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:

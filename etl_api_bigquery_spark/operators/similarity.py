@@ -39,8 +39,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    # try_divide: zero-norm vectors score 0.0 instead of raising under ANSI
     d = l2_norm(a) * l2_norm(b)
-    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+    return F.coalesce(F.try_divide(dot(a, b), d), F.lit(0.0))
 
 
 def cosine_topk(

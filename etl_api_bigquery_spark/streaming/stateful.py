@@ -37,6 +37,13 @@ def lww_staleness_filter(
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
+        # Strictly-greater: assumes the CDC contract's totally-ordered,
+        # UNIQUE per-key LSNs (documented on merge_cdc_batch). Under that
+        # contract an event AT the high-water can only be a byte-identical
+        # redelivery, which is exactly what this filter exists to drop. If a
+        # feed ever emitted two DIFFERENT events at one LSN (contract
+        # violation), filter-on vs filter-off could diverge on the tie —
+        # equal-LSN events would need `>=` passthrough instead.
         (max_lsn,) = state.get if state.exists else (-1,)
         hi = max_lsn
         for pdf in pdfs:
