@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_api_bigquery_spark.cdc.oracle import expected_final_state  # noqa: E402
 from etl_api_bigquery_spark.functions.multimodal import (  # noqa: E402
-    extract_features, synthetic_media)
+    extract_features, stage_media_fixture, synthetic_media)
 from etl_api_bigquery_spark.functions.text import (  # noqa: E402
     fingerprint, lang_id, quality_score, token_count, tokens)
 from etl_api_bigquery_spark.functions.transforms import safe_cast  # noqa: E402
@@ -432,38 +432,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_exact"] = cosine_topk_exact
 
     def embedding_near_dup_pairs(spark, sf):
-        # embedding-cosine near-duplicate detection (semantic dedup)
+        # embedding-cosine near-duplicate detection (semantic dedup) —
+        # LSH-block-then-verify (the scale path; O(n²) cartesian only in the
+        # DuckDB oracle). Band parameters give recall ≈ 1-3e-7 per pair at
+        # the 0.35 threshold, so the blocked result equals the brute-force
+        # oracle exactly.
         emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
-        return near_dup_pairs(emb, threshold=0.35)
+        return near_dup_pairs(emb, threshold=0.35, method="lsh")
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
-    # ---------------- rows-only ops (no SQL-expressible oracle) ------------
+    # ---------------- formerly rows-only ops, now oracle-checked -----------
     def minhash_lsh_pairs(spark, sf):
+        # 64 hashes / 32 bands (2 rows per band): recall at j=0.5 is
+        # 1-(1-j^2)^32 ≈ 0.99998, so the banded-LSH candidates verified by
+        # exact Jaccard EQUAL the exact all-pairs result on this corpus —
+        # which is precisely what the DuckDB all-pairs oracle asserts. A
+        # banding/signature regression surfaces as missing pairs.
         d = _t(spark, sf, "documents").filter("doc_id < 150")
         return minhash_lsh_candidates(d, "doc_id", "text",
-                                      num_hashes=32, bands=8, min_jaccard=0.5)
+                                      num_hashes=64, bands=32, min_jaccard=0.5)
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
 
     def simhash_near_dups(spark, sf):
+        # sha256 token hash (SQL-recomputable) + 8 bands > max_hamming=6:
+        # by pigeonhole the banded result is EXACTLY all pairs with
+        # hamming <= 6 — the DuckDB oracle recomputes the whole signature
+        # independently and does the all-pairs hamming join.
         d = _t(spark, sf, "documents").filter("doc_id < 150")
-        return simhash_candidates(d, "doc_id", "text", bits=32, bands=4,
-                                  max_hamming=6)
+        return simhash_candidates(d, "doc_id", "text", bits=64, bands=8,
+                                  max_hamming=6, token_hash="sha256")
     q["simhash_near_dups"] = simhash_near_dups
 
     def ann_lsh_topk(spark, sf):
+        # parameters chosen so bucketed recall = 1 on this corpus: the
+        # DuckDB oracle is the EXACT top-k — any signature/banding
+        # regression (e.g. round 1's collapsed hyperplanes) goes red
         emb = _t(spark, sf, "embeddings")
-        return lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8)
+        res = lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8)
+        return res.select("q_id", "neighbor_id", "rk",
+                          F.round("cos", 4).alias("cos_r"))
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_ivf_topk(spark, sf):
-        # IVF-Flat: deterministic coarse k-means cells + nprobe search
+        # IVF-Flat: deterministic coarse k-means cells + nprobe search;
+        # nprobe=6 of 8 cells reaches recall 1 here -> exact-top-k oracle
         emb = _t(spark, sf, "embeddings")
-        return ivf_topk(emb, emb.filter("vec_id < 5"), k=3,
-                        n_centroids=8, nprobe=3, lloyd_iters=1)
+        res = ivf_topk(emb, emb.filter("vec_id < 5"), k=3,
+                       n_centroids=8, nprobe=6, lloyd_iters=1)
+        return res.select("q_id", "neighbor_id", "rk",
+                          F.round("cos", 4).alias("cos_r"))
     q["ann_ivf_topk"] = ann_ivf_topk
 
     def multimodal_features(spark, sf):
-        media = synthetic_media(spark, n=60)
+        # staged binary fixture on disk -> mapInPandas recomputes bytes/sha
+        # from the RAW binary; the oracle reads the stager's independent
+        # expected_* columns from the same file
+        path = stage_media_fixture()
+        media = spark.read.parquet(path).select("asset_id", "kind", "media")
         return extract_features(media).select("asset_id", "kind", "n_bytes",
                                               "sha256")
     q["multimodal_features"] = multimodal_features
@@ -780,6 +805,59 @@ def oracle_sql() -> dict[str, str]:
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
     """
 
+    # exact 3-gram-shingle Jaccard all-pairs — the minhash+LSH query's
+    # banded candidates verified by true Jaccard must EQUAL this set
+    # (recall ≈ 1-(1-j^2)^32 at the 0.5 threshold)
+    o["minhash_lsh_pairs"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 ELSE [] END AS sh
+          FROM (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id < 150))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                   AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """
+
+    # independent full recomputation of the sha256-based 64-bit SimHash:
+    # bit j of a token's contribution = bit (j%4) of hex digit (j//4) of
+    # sha256(token); document bit = sign of the summed ±1 contributions.
+    # All pairs with hamming <= 6 — the banded query equals this exactly
+    # (pigeonhole: 8 bands > 6 differing bits).
+    o["simhash_near_dups"] = f"""
+        WITH t AS (SELECT doc_id, unnest({toks}) AS tok
+                   FROM documents WHERE doc_id < 150),
+        h AS (SELECT doc_id, sha256(tok) AS hx FROM t),
+        b AS (SELECT doc_id, j,
+                SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                       substring(hx, CAST(j // 4 AS INT) + 1, 1))
+                                - 1) >> (j % 4)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN range(64) r(j) GROUP BY doc_id, j),
+        sig AS (SELECT doc_id,
+                       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY j) AS sim
+                FROM b GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(hamming(a.sim, b2.sim) AS INT) AS hamming
+        FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        WHERE hamming(a.sim, b2.sim) <= 6
+    """
+
+    media_path = stage_media_fixture()
+    o["multimodal_features"] = f"""
+        SELECT asset_id, kind, expected_n_bytes AS n_bytes,
+               expected_sha256 AS sha256
+        FROM read_parquet('{media_path}')
+    """
+
     # manual cosine with the exact same fold order as the Spark expression
     o["cosine_topk_exact"] = """
         WITH v AS (SELECT vec_id,
@@ -801,6 +879,12 @@ def oracle_sql() -> dict[str, str]:
                ROUND(cos, 4) AS cos_r
         FROM s WHERE rk <= 3
     """
+
+    # the ANN queries' parameters reach recall 1 on this corpus, so the
+    # EXACT top-k is their oracle: a bucketing/signature regression (missed
+    # true neighbor) breaks the hash match instead of passing silently
+    o["ann_lsh_topk"] = o["cosine_topk_exact"]
+    o["ann_ivf_topk"] = o["cosine_topk_exact"]
 
     return o
 

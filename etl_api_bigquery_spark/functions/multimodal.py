@@ -75,6 +75,38 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def stage_media_fixture(path: str = "/tmp/spark_graft_media_v1.parquet",
+                        n: int = 60, seed: int = 42) -> str:
+    """Write the deterministic synthetic-media table to a parquet FILE (via
+    pyarrow, no Spark needed) so an external oracle engine can read the same
+    bytes. Columns: asset_id, kind, media (binary) plus stager-computed
+    ``expected_n_bytes`` / ``expected_sha256`` — DuckDB has no sha256(BLOB),
+    so the oracle checks the engine's mapInPandas-recomputed hash against the
+    stager's independent computation. Write-once, atomic rename (safe under
+    concurrent runs); bytes depend only on (n, seed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    kinds = ["image", "audio", "video"]
+    media = [hashlib.sha512(f"{i}{seed}".encode()).digest() for i in range(n)]
+    tbl = pa.table({
+        "asset_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array([kinds[i % 3] for i in range(n)]),
+        "media": pa.array(media, pa.binary()),
+        "expected_n_bytes": pa.array([len(m) for m in media], pa.int64()),
+        "expected_sha256": pa.array(
+            [hashlib.sha256(m).hexdigest() for m in media]),
+    })
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary payloads derived from sha2)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))

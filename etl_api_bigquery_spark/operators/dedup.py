@@ -66,15 +66,26 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 
 # ------------------------------------------------------------------ MinHash
 
+def _hash_fn(i: int, seed: int):
+    """One-arg transform lambda closing over hash-function index ``i``.
+
+    MUST be built via a factory: a ``lambda s, i=i:`` default-arg closure has
+    TWO parameters, which PySpark's higher-order-function binder interprets
+    as the (element, index) form — silently binding ``i`` to the array
+    position instead of the hash index, collapsing every hash function into
+    one (round-1 latent bug, caught by the plane-correlation probe)."""
+    def fn(s):
+        return F.xxhash64(s, F.lit(i), F.lit(seed))
+    return fn
+
+
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 64,
                       seed: int = 42) -> Column:
     """num_hashes-wide MinHash signature: for each hash fn i,
     min over shingles of xxhash64(shingle, i, seed). Pure array expressions."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i), F.lit(seed))))
-        for i in range(num_hashes)
-    ]
+    mins = [F.array_min(F.transform(sh, _hash_fn(i, seed)))
+            for i in range(num_hashes)]
     return F.array(*mins)
 
 
@@ -137,22 +148,48 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------------ SimHash
 
-def simhash_bits(col: Column | str, bits: int = 64) -> Column:
+def simhash_bits(col: Column | str, bits: int = 64,
+                 token_hash: str = "xxhash64") -> Column:
     """SimHash over tokens as a bit-sign vector, returned as a ``bits``-char
-    '0'/'1' string (MSB first). aggregate+zip_with keeps it fully columnar."""
+    '0'/'1' string. aggregate+zip_with keeps it fully columnar.
+
+    ``token_hash``:
+
+    * ``"xxhash64"`` (default) — cheapest JVM hash; the production path.
+    * ``"sha256"`` — bit j taken from hex digit j//4 of sha2(token, 256)
+      (bits <= 64). Byte-identical to what any ANSI-SQL engine with a
+      sha256() can compute, so the DuckDB oracle can recompute the WHOLE
+      signature independently — this is the cross-engine-verifiable path.
+    """
     toks = tokens(col)
+
+    if token_hash == "xxhash64":
+        def contrib(t):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.when(F.bit_get(F.xxhash64(t), j) == 1,
+                                 F.lit(1)).otherwise(F.lit(-1)))
+    elif token_hash == "sha256":
+        if bits > 64:
+            raise ValueError("sha256 token hash supports bits <= 64")
+
+        def contrib(t):
+            hx = F.sha2(t, 256)
+            # j//4, j%4 unrolled in PYTHON (literal positions/shifts) — the
+            # whole bit expression stays a static Catalyst tree
+            return F.array(*[
+                (F.shiftright(
+                    F.conv(F.substring(hx, j // 4 + 1, 1), 16, 10).cast("int"),
+                    j % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+                for j in range(bits)
+            ])
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+
     acc = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.when(F.bit_get(F.xxhash64(t), j) == 1,
-                                 F.lit(1)).otherwise(F.lit(-1)),
-            ),
-            lambda a, b: a + b,
-        ),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b),
     )
     return F.concat_ws("", F.transform(
         acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))))
@@ -167,13 +204,23 @@ def simhash_hamming(a: Column, b: Column) -> Column:
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 64, bands: int = 4,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: band the bit string into ``bands`` chunks;
-    docs sharing any exact chunk are candidates (guaranteed to catch any pair
-    with < bands differing bits); verify by Hamming distance."""
+    docs sharing any exact chunk are candidates; verify by Hamming distance.
+
+    Completeness guarantee (pigeonhole): when ``max_hamming < bands`` and
+    ``bands`` divides ``bits``, a pair within ``max_hamming`` differs in
+    fewer bits than there are bands, so at least one band is identical —
+    the result is then EXACTLY "all pairs with hamming <= max_hamming", not
+    an approximation. The banded shuffle only bounds the candidate join.
+    Rows with zero tokens are excluded (their all-zero signature would pair
+    every empty doc with every other)."""
     chunk = bits // bands
-    sh = df.select(F.col(id_col).alias("_id"),
-                   simhash_bits(text_col, bits).alias("_sim"))
+    sh = (df.select(F.col(id_col).alias("_id"),
+                    F.size(tokens(text_col)).alias("_nt"),
+                    simhash_bits(text_col, bits, token_hash).alias("_sim"))
+          .filter(F.col("_nt") > 0).drop("_nt"))
     banded = sh.select("_id", "_sim", F.posexplode(F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.substring(F.col("_sim"), b * chunk + 1, chunk),

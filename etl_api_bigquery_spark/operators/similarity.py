@@ -134,19 +134,69 @@ def ivf_topk(
 
 def near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, method: str = "lsh",
+    bits: int = 16, bands: int = 16, dim: int | None = None, seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
-    — the semantic-dedup primitive. Brute-force all-pairs; at corpus scale
-    compose with :func:`ivf_topk`/:func:`lsh_topk` cells to bound the join."""
+    — the semantic-dedup primitive.
+
+    ``method="lsh"`` (default, the scale path): block by random-hyperplane
+    band buckets, exact-cosine verify only within blocks. Shuffle volume is
+    bounded by bucket sizes — never the O(n²) cartesian. Expected recall per
+    pair at cosine c is 1-(1-p^chunk)^bands with p = 1-acos(c)/π; size
+    bits/bands so p^chunk·bands covers your threshold (at the default
+    chunk=1, a c=0.35 pair is caught with prob ≈ 1-3e-7; production
+    thresholds of 0.9+ allow chunk 4+ for smaller buckets).
+
+    ``method="brute"``: the all-pairs cartesian — O(n²), ONLY for small-sf
+    oracle/verification runs (it is what the DuckDB oracle mirrors).
+    """
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).cast("array<double>").alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    if method == "brute":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        chunk = bits // bands
+        sig = _hyperplane_sig(F.col(vec_col).cast("array<double>"), bits, dim,
+                              seed)
+        banded = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bd: F.substring(sig, bd * chunk + 1, chunk),
+            )).alias("_band", "_chunk"))
+        ba = banded.select(F.col("_id").alias("id_a"),
+                           F.col("_vec").alias("va"), "_band", "_chunk")
+        bb = banded.select(F.col("_id").alias("id_b"),
+                           F.col("_vec").alias("vb"), "_band", "_chunk")
+        pairs = (ba.join(bb, on=["_band", "_chunk"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .dropDuplicates(["id_a", "id_b"])
+                 .select("id_a", "va", "id_b", "vb"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (pairs
             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos_r")))
+
+
+def _plane_component(b: int, seed: int):
+    """One-arg transform lambda for plane ``b``'s j-th component. Built via a
+    factory, NOT a ``lambda j, b=b:`` default-arg closure — a two-parameter
+    callable is bound by PySpark's higher-order-function layer as the
+    (element, index) form, which silently replaced the plane index with the
+    array position and made every hyperplane identical (round-1 latent bug:
+    all signatures collapsed to two buckets)."""
+    def fn(j):
+        return (F.pmod(F.xxhash64(F.lit(b), j, F.lit(seed)),
+                       F.lit(1000)) / 1000.0) - 0.5
+    return fn
 
 
 def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int) -> Column:
@@ -157,8 +207,7 @@ def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int) -> Column:
             F.zip_with(
                 vec,
                 F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda j, b=b: (F.pmod(F.xxhash64(F.lit(b), j, F.lit(seed)),
-                                                   F.lit(1000)) / 1000.0) - 0.5),
+                            _plane_component(b, seed)),
                 lambda x, p: x * p),
             F.lit(0.0), lambda acc, v: acc + v)
     return F.concat_ws("", *[

@@ -12,6 +12,8 @@ from etl_api_bigquery_spark.operators.quality import (
     duplicate_keys, quality_report)
 from etl_api_bigquery_spark.operators.similarity import cosine_topk, lsh_topk
 
+SF = "/root/testdata/sf0.001"
+
 
 def docs(spark):
     base = ("the quick brown fox jumps over the lazy dog and runs into the "
@@ -147,3 +149,73 @@ def test_quality_report_and_dup_keys(spark):
     assert not rep.passed()
     dups = duplicate_keys(df, ["k"]).collect()
     assert len(dups) == 1 and dups[0].dup_count == 2
+
+
+def test_hyperplanes_are_distinct(spark):
+    """Regression: a two-arg default-closure lambda in F.transform binds the
+    closed-over var to the ARRAY INDEX (PySpark's (element, index) form),
+    which made every hyperplane identical and collapsed all signatures into
+    two buckets. Planes must be pairwise non-identical."""
+    from etl_api_bigquery_spark.operators.similarity import _plane_component
+    df = spark.range(1)
+    planes = [
+        df.select(F.transform(F.sequence(F.lit(0), F.lit(15)),
+                              _plane_component(b, 42)).alias("p")).first()[0]
+        for b in range(4)
+    ]
+    for i in range(4):
+        for k in range(i + 1, 4):
+            assert planes[i] != planes[k], f"plane {i} == plane {k}"
+
+
+def test_minhash_functions_are_distinct(spark):
+    """Same regression for minhash: each hash fn i must differ."""
+    from etl_api_bigquery_spark.operators.dedup import minhash_signature
+    df = spark.createDataFrame([(["a", "b", "c"],)], ["sh"])
+    sig = df.select(minhash_signature("sh", num_hashes=16).alias("s")).first()[0]
+    assert len(set(sig)) > 8  # 16 independent hash fns -> mostly distinct mins
+
+
+def test_simhash_sha256_variant_bits(spark):
+    """sha256 token-hash simhash: deterministic, bit j = bit (j%4) of hex
+    digit (j//4) — cross-checked against hashlib."""
+    import hashlib
+    from etl_api_bigquery_spark.operators.dedup import simhash_bits
+    df = spark.createDataFrame([("hello",)], ["text"])
+    got = df.select(simhash_bits("text", 64, token_hash="sha256")
+                    .alias("s")).first()[0]
+    hx = hashlib.sha256(b"hello").hexdigest()
+    want = "".join(
+        "1" if ((int(hx[j // 4], 16) >> (j % 4)) & 1) * 2 - 1 > 0 else "0"
+        for j in range(64))
+    assert got == want
+
+
+def test_simhash_band_guarantee_exact(spark):
+    """bands > max_hamming: banded candidates verified by hamming must EQUAL
+    the all-pairs hamming result (pigeonhole completeness)."""
+    from etl_api_bigquery_spark.operators.dedup import (simhash_bits,
+                                                        simhash_candidates,
+                                                        simhash_hamming)
+    d = spark.read.parquet(SF + "/documents.parquet").filter("doc_id < 60")
+    got = {(r.id_a, r.id_b) for r in
+           simhash_candidates(d, "doc_id", "text", bits=64, bands=8,
+                              max_hamming=6, token_hash="sha256").collect()}
+    sh = d.select("doc_id", simhash_bits("text", 64, "sha256").alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    want = {(r.id_a, r.id_b) for r in
+            a.crossJoin(b).filter("id_a < id_b")
+            .withColumn("hd", simhash_hamming(F.col("sa"), F.col("sb")))
+            .filter("hd <= 6").collect()}
+    assert got == want
+
+
+def test_near_dup_pairs_lsh_equals_brute(spark):
+    from etl_api_bigquery_spark.operators.similarity import near_dup_pairs
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter("vec_id < 200")
+    brute = {(r.id_a, r.id_b) for r in
+             near_dup_pairs(emb, threshold=0.35, method="brute").collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           near_dup_pairs(emb, threshold=0.35, method="lsh").collect()}
+    assert brute == lsh and len(brute) > 0
