@@ -140,18 +140,29 @@ def lww_prefilter(
     a total, non-NULL LSN order; NULL-lsn rows are undefined input that the
     unfiltered path would mangle anyway (``max_by`` over a NULL ordering key).
 
-    Memory bound: the broadcast is ~(key bytes + 8) × (keys in batch) per
-    executor. Fine up to tens of millions of keys per micro-batch; for larger
-    batches disable prefiltering (``prefilter=False`` on merge_cdc_batch) or
+    The broadcast carries ``(xxhash64(keys), lsn)`` pairs — 16 bytes per key
+    — instead of the raw (possibly long string) keys: the winner set's only
+    job is to pass each key's own max-LSN event, and a key's own
+    ``(hash, max_lsn)`` entry is in the set by construction, so hashing can
+    only ADD spurious passes (a different key colliding on both hash and
+    LSN), never drop a winner. Spurious survivors are folded by the
+    downstream :func:`lww_dedup` / read-side LWW exactly like LSN ties.
+    NULL keys hash via the same coalesce-to-sentinel rule as bucketing, so
+    NULL-keyed legacy rows are filtered consistently.
+
+    Memory bound: the broadcast is ~16 bytes × (keys in batch) per executor
+    — tens of millions of keys per micro-batch is ~hundreds of MB; beyond
+    that disable prefiltering (``prefilter=False`` on merge_cdc_batch) or
     raise executor memory."""
-    winners = (events.groupBy(*key_cols)
-               .agg(F.max(lsn_col).alias(lsn_col))
-               .select(*[F.col(k).alias(f"_w_{k}") for k in key_cols],
-                       F.col(lsn_col).alias("_w_lsn")))
-    cond = F.col(lsn_col) == F.col("_w_lsn")
-    for k in key_cols:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"_w_{k}"))
-    return events.join(F.broadcast(winners), on=cond, how="left_semi")
+    kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+                      for k in key_cols])
+    winners = (events.groupBy(kh.alias("_kh"))
+               .agg(F.max(lsn_col).alias("_w_lsn")))
+    left = events.withColumn("_kh", kh)
+    cond = ((left["_kh"] == winners["_kh"])
+            & (left[lsn_col] == winners["_w_lsn"]))
+    return left.join(F.broadcast(winners), on=cond,
+                     how="left_semi").drop("_kh")
 
 
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
@@ -296,10 +307,18 @@ def merge_cdc_batch(
     # ClusteredDistribution(_bucket, keys) because _bucket is a function of
     # the keys, so Catalyst inserts no second exchange; the bucket-pure write
     # then needs no repartition either. (Was: dedup shuffle + write shuffle.)
+    #
+    # After the prefilter the surviving batch is ~1 row per key (only LSN
+    # ties remain), so hot-key skew is already defused and the salted
+    # two-phase aggregation would be a pure extra pass over the payload —
+    # skip it. The narrow (hash, lsn) prefilter aggregation itself is
+    # skew-immune: its partial (map-side) aggregation collapses a hot key's
+    # flood before the 16-byte rows ever shuffle.
     src = (lww_prefilter(events, key_cols, lsn_col) if prefilter else events)
+    effective_salt = 0 if prefilter else salt_buckets
     evb = src.withColumn(BUCKET_COL, table.bucket_expr())
     evb = evb.repartition(table.num_buckets, F.col(BUCKET_COL))
-    winners = lww_dedup(evb, [BUCKET_COL] + key_cols, lsn_col, salt_buckets)
+    winners = lww_dedup(evb, [BUCKET_COL] + key_cols, lsn_col, effective_salt)
 
     payload = lambda f: (  # noqa: E731
         F.col(f.name).cast(f.dataType).alias(f.name)

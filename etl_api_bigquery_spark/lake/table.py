@@ -34,9 +34,10 @@ guarantees:
 
 Scale notes (designed for 1000-executor / 100 TB, tested on local[32]):
 data files are written and read by distributed Spark jobs; only the commit
-log (KB-sized JSON) and parquet *footers* are touched driver-side. At very
-large file counts footer harvesting would move into executors
-(``mapInPandas`` over file lists) — the manifest format already supports it.
+log (KB-sized JSON) is touched driver-side. Parquet footer harvesting runs
+in a driver thread pool for small commits and as a distributed Spark job on
+executors above ``DISTRIBUTED_HARVEST_THRESHOLD`` files, so commit metadata
+cost is never O(files) on one node.
 """
 
 from __future__ import annotations
@@ -478,47 +479,37 @@ class LakeTable:
             out.write.mode("overwrite").parquet(abs_dir)
         return self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
 
+    # above this file count the footer harvest runs as a Spark job on
+    # executors instead of a driver thread pool (env-tunable for tests)
+    DISTRIBUTED_HARVEST_THRESHOLD = int(
+        os.environ.get("LAKE_DIST_HARVEST_THRESHOLD", "192"))
+
     def _harvest_entries(self, abs_dir: str, rel_dir: str, schema_id: int,
                          kind: str = "base") -> list[FileEntry]:
-        import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
         paths = (glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet"))
                  + glob.glob(os.path.join(abs_dir, "*.parquet")))
-
-        def harvest_one(fp: str) -> FileEntry:
-            parent = os.path.basename(os.path.dirname(fp))
-            bucket = (int(parent.split("=", 1)[1]) if parent.startswith("_bkt=")
-                      else MIXED_BUCKET)
-            md = pq.read_metadata(fp)
-            stats: dict[str, list[Any]] = {}
-            sch = md.schema
-            for ci in range(md.num_columns):
-                name = sch.column(ci).name
-                mn = mx = None
-                nulls = 0
-                ok = True
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    nulls += st.null_count or 0
-                    mn = st.min if mn is None or st.min < mn else mn
-                    mx = st.max if mx is None or st.max > mx else mx
-                if ok and mn is not None and _json_safe(mn) and _json_safe(mx):
-                    stats[name] = [mn, mx, nulls]
-            rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
-            return FileEntry(rel, bucket, md.num_rows,
-                             os.path.getsize(fp), schema_id, stats, kind)
-
         if not paths:
             return []
-        # footer reads release the GIL in pyarrow I/O — a thread pool drops
-        # this per-commit driver cost from O(files) serial to ~O(files/16),
-        # which matters for per-micro-batch fixed overhead at high trigger rates
+        if len(paths) >= self.DISTRIBUTED_HARVEST_THRESHOLD:
+            # EXECUTOR-side harvest: the driver only collects the (small)
+            # FileEntry dicts, so commit metadata cost stops being O(files)
+            # on one node — the round-1 commit bottleneck at 100x file
+            # counts. Executors read the same lake storage they just wrote.
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(paths) // 8, sc.defaultParallelism))
+            docs = (sc.parallelize(paths, n_slices)
+                    .map(lambda fp: _harvest_footer(fp, abs_dir, rel_dir,
+                                                    schema_id, kind))
+                    .collect())
+            return [FileEntry.from_json(d) for d in docs]
+        # driver thread pool: footer reads release the GIL in pyarrow I/O,
+        # dropping per-commit cost from O(files) serial to ~O(files/16)
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
-            return list(pool.map(harvest_one, paths))
+            return [FileEntry.from_json(d) for d in pool.map(
+                lambda fp: _harvest_footer(fp, abs_dir, rel_dir,
+                                           schema_id, kind), paths)]
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if BUCKET_COL in df.columns:
@@ -563,18 +554,47 @@ class LakeTable:
                                   snap.schema_id, adds, removes, props)
 
     def delete_where(self, condition: str,
-                     properties: dict[str, Any] | None = None) -> int:
-        """DELETE FROM t WHERE cond — copy-on-write rewrite of affected files
-        (reference: partition delete M5 loader.py:194-272 and batched NULL-key
-        delete M6 loader.py:945-974; no 1000-item IN-list chunking needed)."""
+                     properties: dict[str, Any] | None = None,
+                     prune_predicates: list[tuple[str, str, Any]] | None = None,
+                     ) -> int:
+        """DELETE FROM t WHERE cond — copy-on-write rewrite of affected
+        BUCKETS only (reference: partition-pruned delete M5 loader.py:194-272
+        and batched NULL-key delete M6 loader.py:945-974; no 1000-item
+        IN-list chunking needed).
+
+        ``prune_predicates`` — conjunctive ``(col, op, val)`` mirror of
+        ``condition`` for manifest-stats file skipping: files that cannot
+        match identify buckets that need no rewrite; those buckets' files
+        ride through the commit untouched. Pruning is at bucket granularity
+        (not file) because MOR delta resolution is per-bucket: rewriting one
+        base file while its bucket's deltas survive would re-resolve
+        against stale deltas. A may-match raw-append (mixed-bucket) file
+        falls back to the full rewrite, same rule as the MERGE path. Without
+        ``prune_predicates`` every file is conservatively rewritten.
+
+        At 100 TB this is the difference between a maintenance delete
+        costing O(matching buckets) and O(table)."""
         snap = self.snapshot()
-        version = snap.version + 1
-        full = self.read(with_bucket=True)
-        keep = full.filter(~F.expr(condition) | F.expr(condition).isNull())
-        adds = self._write_data_files(keep, version, snap.schema, snap.schema_id)
-        removes = list(snap.files.keys())
-        return self._write_commit(version, "delete", snap.schema, snap.schema_id,
-                                  adds, removes, properties or {})
+        entries = list(snap.files.values())
+        buckets: list[int] | None = None
+        victims = entries
+        if prune_predicates:
+            may = self.prune_files(entries, prune_predicates)
+            if not may:
+                return snap.version          # nothing can match: no-op
+            if not any(e.bucket == MIXED_BUCKET for e in may):
+                buckets = sorted({e.bucket for e in may})
+                victims = snap.files_for_buckets(buckets)
+        cond = F.expr(condition)
+        keep = (self.read(buckets=buckets, with_bucket=True)
+                .filter(~cond | cond.isNull()))
+        props = dict(properties or {})
+        props["delete_pruned_buckets"] = (
+            buckets if buckets is not None else "all")
+        props["delete_files_rewritten"] = len(victims)
+        props["delete_files_total"] = len(entries)
+        return self.commit_rewrite(keep, victims, "delete", snap.schema,
+                                   snap.schema_id, props)
 
     def commit_rewrite(
         self,
@@ -709,6 +729,39 @@ class LakeTable:
 
 
 # ------------------------------------------------------------------ helpers
+
+def _harvest_footer(fp: str, abs_dir: str, rel_dir: str, schema_id: int,
+                    kind: str) -> dict[str, Any]:
+    """Read one parquet footer into a FileEntry JSON dict. Module-level and
+    dict-returning so it pickles cleanly into executor tasks (the
+    distributed-harvest path) as well as driver threads."""
+    import pyarrow.parquet as pq
+
+    parent = os.path.basename(os.path.dirname(fp))
+    bucket = (int(parent.split("=", 1)[1]) if parent.startswith("_bkt=")
+              else MIXED_BUCKET)
+    md = pq.read_metadata(fp)
+    stats: dict[str, list[Any]] = {}
+    sch = md.schema
+    for ci in range(md.num_columns):
+        name = sch.column(ci).name
+        mn = mx = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            nulls += st.null_count or 0
+            mn = st.min if mn is None or st.min < mn else mn
+            mx = st.max if mx is None or st.max > mx else mx
+        if ok and mn is not None and _json_safe(mn) and _json_safe(mx):
+            stats[name] = [mn, mx, nulls]
+    rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
+    return FileEntry(rel, bucket, md.num_rows, os.path.getsize(fp),
+                     schema_id, stats, kind).to_json()
+
 
 def _json_safe(v: Any) -> bool:
     try:
