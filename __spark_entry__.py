@@ -311,6 +311,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("journey")))
     q["ordered_event_journey"] = ordered_event_journey
 
+    def backfill_join_null_targets(spark, sf):
+        # J3: window-dedup source MERGE that fills ONLY NULL target columns
+        # (ref backfill_products_partition.py:74-96)
+        from etl_api_bigquery_spark.lake.merge import backfill_columns
+        docs = _t(spark, sf, "documents")
+        target = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, None)
+             .otherwise(F.col("lang")).alias("lang"),
+            "source")
+        v = F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+        src = (docs.select("doc_id", "lang", v)
+               .select("doc_id",
+                       F.concat(F.col("lang"), F.lit("_v"),
+                                F.col("v").cast("string")).alias("lang"),
+                       F.col("v").alias("ord")))
+        return backfill_columns(target, src, ["doc_id"], ["lang"], "ord")
+    q["backfill_join_null_targets"] = backfill_join_null_targets
+
+    def quality_full_report(spark, sf):
+        # A6 complete: completeness + uniqueness + type-correctness + score
+        # in ONE aggregation pass (ref checks.py:93-267, score :40-45)
+        from etl_api_bigquery_spark.operators.quality import (
+            full_quality_report)
+        d = _t(spark, sf, "documents")
+        return full_quality_report(
+            d, required_cols=["text", "lang"], key_cols=["doc_id"],
+            type_specs={"n_chars": "bigint", "lang": "int"})
+    q["quality_full_report"] = quality_full_report
+
+    def validate_coerce_records(spark, sf):
+        # validator-gate: coerce string ids, drop rows failing required
+        # fields, extras pass through (ref validators.py:46-84)
+        from etl_api_bigquery_spark.operators.quality import validate_coerce
+        ev = _t(spark, sf, "events")
+        src = ev.select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.regexp_extract("props", r"[0-9]+", 0).alias("k_str"),
+            "event_type")
+        ok = validate_coerce(src, required={"event_id": "long",
+                                            "k_str": "int"})
+        return ok.groupBy("event_type").agg(
+            F.count("*").alias("n_valid"),
+            F.sum("k_str").alias("sum_k"))
+    q["validate_coerce_records"] = validate_coerce_records
+
     def quality_report_documents(spark, sf):
         # A6: one-pass null/dup rates + score
         d = _t(spark, sf, "documents")
@@ -688,6 +734,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
         FROM events WHERE user_id < 40 GROUP BY user_id
+    """
+
+    o["backfill_join_null_targets"] = """
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END
+                              AS lang,
+                          source
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     lang || '_v' || CAST(v AS VARCHAR) AS lang, v AS ord
+              FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)),
+        d AS (SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY ord DESC) AS rn
+                FROM s) WHERE rn = 1)
+        SELECT t.doc_id, COALESCE(t.lang, d.lang) AS lang, t.source
+        FROM t LEFT JOIN d USING (doc_id)
+    """
+
+    o["quality_full_report"] = """
+        WITH m AS (SELECT
+            COUNT(*) AS n,
+            ROUND(AVG(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 6) AS nr_text,
+            ROUND(AVG(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 6) AS nr_lang,
+            ROUND((COUNT(*) - COUNT(DISTINCT doc_id)) * 1.0 / COUNT(*), 6)
+                AS dup,
+            ROUND(1.0 - SUM(
+                CASE WHEN n_chars IS NOT NULL
+                          AND TRY_CAST(n_chars AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END
+              + CASE WHEN lang IS NOT NULL
+                          AND TRY_CAST(lang AS INT) IS NULL
+                     THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) * 2), 6) AS tr
+          FROM documents),
+        c AS (SELECT *,
+                (CASE WHEN nr_text <= 0.05 THEN 1 ELSE 0 END
+               + CASE WHEN nr_lang <= 0.05 THEN 1 ELSE 0 END
+               + CASE WHEN dup <= 0 THEN 1 ELSE 0 END
+               + CASE WHEN tr >= 0.95 THEN 1 ELSE 0 END) AS cp
+              FROM m)
+        SELECT n AS total_rows, nr_text AS null_rate_text,
+               nr_lang AS null_rate_lang, dup AS dup_rate,
+               tr AS type_correctness, cp AS checks_passed,
+               ROUND(cp * 100.0 / 4, 2) AS score
+        FROM c
+    """
+
+    o["validate_coerce_records"] = """
+        WITH x AS (SELECT
+            TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS event_id,
+            TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)
+                AS k_str,
+            event_type FROM events)
+        SELECT event_type, COUNT(*) AS n_valid,
+               CAST(SUM(k_str) AS BIGINT) AS sum_k
+        FROM x WHERE event_id IS NOT NULL AND k_str IS NOT NULL
+        GROUP BY event_type
     """
 
     o["quality_report_documents"] = """

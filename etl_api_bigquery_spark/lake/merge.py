@@ -198,6 +198,80 @@ def evolve_for_batch(table: LakeTable, batch: DataFrame,
     return changed
 
 
+def backfill_columns(
+    target: DataFrame,
+    source: DataFrame,
+    join_keys: list[str],
+    set_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Backfill join with dedup (J3) as a pure DataFrame operator.
+
+    Port of the reference's backfill MERGE
+    (bills/scripts/backfill_products_partition.py:74-96): the source is
+    window-deduped per join key (ROW_NUMBER ... ORDER BY order_col DESC,
+    rn=1), then matched target rows take the source value ONLY where the
+    target column is NULL (``coalesce(target.col, source.col)``) — non-NULL
+    targets are never overwritten. Unmatched target rows pass through.
+
+    Scale shape: the dedup is one narrow shuffle of (keys, order, set_cols);
+    the join is left-outer on the keys and Catalyst/AQE picks broadcast when
+    the deduped source is small (the common backfill case).
+    """
+    w_cols = [F.col(k) for k in join_keys]
+    row = F.struct(*[F.col(c) for c in set_cols]).alias("_fill")
+    dedup = (source.groupBy(*w_cols)
+             .agg(F.max_by(row, F.col(order_col)).alias("_fill")))
+    src = dedup.select(*join_keys,
+                       *[F.col(f"_fill.{c}").alias(f"_bf_{c}")
+                         for c in set_cols])
+    out_cols = []
+    for c in target.columns:
+        if c in set_cols:
+            out_cols.append(F.coalesce(F.col(c), F.col(f"_bf_{c}")).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return target.join(src, on=join_keys, how="left").select(*out_cols)
+
+
+def merge_backfill(
+    table: LakeTable,
+    source: DataFrame,
+    set_cols: list[str],
+    order_col: str,
+    join_keys: list[str] | None = None,
+    properties: dict[str, Any] | None = None,
+) -> int:
+    """Transactional backfill into a LakeTable: window-dedup ``source``,
+    update ONLY NULL target values of ``set_cols`` (see
+    :func:`backfill_columns`), commit as one atomic rewrite.
+
+    When ``join_keys`` equal the table's bucket keys (the default), only the
+    buckets containing source keys are read and rewritten — the manifest
+    prunes the rest, same as the CDC MERGE path. Foreign-key backfills
+    (reference: products matched on bill_id) pass explicit ``join_keys`` and
+    pay a full rewrite."""
+    keys = join_keys or table.key_cols
+    snap = table.snapshot()
+    if keys == table.key_cols:
+        kb = (source.select(table.bucket_expr(keys).alias("b"))
+              .distinct().collect())
+        buckets: list[int] | None = sorted(int(r.b) for r in kb)
+        victims = snap.files_for_buckets(buckets)
+        from .table import MIXED_BUCKET
+        if any(e.bucket == MIXED_BUCKET for e in victims):
+            buckets, victims = None, list(snap.files.values())
+    else:
+        buckets, victims = None, list(snap.files.values())
+    target = table.read(buckets=buckets, with_bucket=True)
+    filled = backfill_columns(target, source, keys, set_cols, order_col)
+    props = dict(properties or {})
+    props["backfill"] = {"set_cols": set_cols,
+                         "buckets": buckets if buckets is not None else "all"}
+    return table.commit_rewrite(filled, victims, "backfill", snap.schema,
+                                snap.schema_id, props)
+
+
 def merge_cdc_batch(
     table: LakeTable,
     events: DataFrame,
@@ -360,11 +434,15 @@ def merge_cdc_batch(
             mean_k = m.keys / len(per_bucket) if per_bucket else 0.0
             m.skew_factor = (round(max(per_bucket.values()) / mean_k, 3)
                              if mean_k else 0.0)
+            elapsed = max(time.monotonic() - t0, 1e-9)
             return {"lineage": {
                 "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
                 "upserts": m.upserts, "buckets_touched": m.buckets_touched,
                 "skew_factor": m.skew_factor, "mode": mode,
                 "target_rows_read": 0,
+                # reference metric parity: records_per_second per job
+                # (src/monitoring/metrics.py:100), write-inclusive
+                "events_per_sec": round(m.keys / elapsed, 1),
             }}
 
         m.version = table.append_deltas(delta, properties=props,
@@ -463,8 +541,16 @@ def merge_cdc_batch(
                       else F.col(f.name) for f in fields])
         )
         merged = survivors.select(*data_cols).unionByName(applied)
+
+        def add_rate(adds):
+            elapsed = max(time.monotonic() - t0, 1e-9)
+            lin = dict(props["lineage"])
+            lin["events_per_sec"] = round(m.keys / elapsed, 1)
+            return {"lineage": lin}
+
         m.version = table.commit_rewrite(
-            merged, target_files, "merge", snap.schema, snap.schema_id, props)
+            merged, target_files, "merge", snap.schema, snap.schema_id, props,
+            props_fn=add_rate)
         effective.unpersist()
     finally:
         winners.unpersist()

@@ -605,16 +605,23 @@ class LakeTable:
         schema_id: int,
         properties: dict[str, Any] | None = None,
         repartition: bool = True,
+        props_fn: Any = None,
     ) -> int:
         """Low-level: atomically swap ``remove_entries`` for the files of
-        ``new_data`` (used by MERGE and compaction)."""
+        ``new_data`` (used by MERGE and compaction). ``props_fn(adds)`` (if
+        given) runs after the write job but before the commit doc, so
+        write-inclusive lineage (e.g. events/sec) lands in the same atomic
+        commit."""
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(self._with_bucket(new_data), version,
                                       schema, schema_id, repartition=repartition)
+        props = dict(properties or {})
+        if props_fn is not None:
+            props.update(props_fn(adds))
         return self._write_commit(version, action, schema, schema_id, adds,
                                   [e.path for e in remove_entries],
-                                  properties or {})
+                                  props)
 
     def append_deltas(self, df: DataFrame,
                       properties: dict[str, Any] | None = None,

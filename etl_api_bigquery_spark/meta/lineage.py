@@ -23,6 +23,7 @@ LINEAGE_SCHEMA = T.StructType([
     T.StructField("buckets_touched", T.LongType()),
     T.StructField("target_rows_read", T.LongType()),
     T.StructField("skew_factor", T.DoubleType()),
+    T.StructField("events_per_sec", T.DoubleType()),
     T.StructField("txn_app", T.StringType()),
     T.StructField("commit_ts_ms", T.LongType()),
 ])
@@ -39,6 +40,7 @@ def lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
             lin.get("deletes"), lin.get("buckets_touched"),
             lin.get("target_rows_read"),
             float(lin["skew_factor"]) if "skew_factor" in lin else None,
+            float(lin["events_per_sec"]) if "events_per_sec" in lin else None,
             p.get("txn_app"), h.get("commit_ts_ms"),
         ))
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -37,6 +37,12 @@ class CdcStreamRunner:
     checkpoint_dir: str
     txn_app: str = "cdc-stream"
     max_files_per_trigger: int = 1
+    # source throttling / backpressure (S3 — the Spark-native analogue of
+    # the reference's token-bucket rate limiter, shared/nhanh/client.py:27-90):
+    # bound each micro-batch by BYTES as well as file count, so one oversized
+    # drop-zone file cannot blow the executor memory budget of a trigger.
+    # None = unbounded (file-count bound only).
+    max_bytes_per_trigger: int | None = None
     salt_buckets: int = 0
     mode: str = "cow"                      # "cow" | "mor" write strategy
     auto_compact_deltas: int = 16
@@ -66,12 +72,17 @@ class CdcStreamRunner:
 
     def run_available_now(self, timeout_sec: int = 600) -> list[MergeMetrics]:
         """Drain all pending feed files in micro-batches, then stop."""
-        stream = (
-            self.spark.readStream.schema(feed_schema())
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .option("latestFirst", "false")
-            .parquet(self.feed_dir)
-        )
+        reader = (self.spark.readStream.schema(feed_schema())
+                  .option("latestFirst", "false"))
+        # Spark's file source rejects byte + file bounds together; the byte
+        # bound (when configured) is the tighter backpressure control
+        if self.max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger",
+                                   str(self.max_bytes_per_trigger))
+        else:
+            reader = reader.option("maxFilesPerTrigger",
+                                   self.max_files_per_trigger)
+        stream = reader.parquet(self.feed_dir)
         if self.stateful_staleness_filter:
             from .stateful import lww_staleness_filter
             stream = lww_staleness_filter(stream, self.table.key_cols)

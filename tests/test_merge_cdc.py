@@ -214,3 +214,63 @@ def test_generator_deterministic(spark):
     assert f1.exceptAll(f2).isEmpty()
     f3 = change_feed(spark, 3000, 100, seed=8)
     assert not f1.exceptAll(f3).isEmpty()
+
+
+def test_merge_backfill_only_null_targets(spark, tmp_table_dir):
+    """J3: window-deduped source fills ONLY NULL target columns; non-NULL
+    values survive untouched; bucket pruning leaves other buckets' files."""
+    from etl_api_bigquery_spark.lake.merge import merge_backfill
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [
+        evt(1, "I", "r1", "a", "v1"),
+        evt(2, "I", "r1", "b", None),     # NULL content -> backfill target
+        evt(3, "I", "r2", "c", None),
+    ] + [evt(10 + i, "I", f"spread{i}", f"p{i}", "x") for i in range(40)]),
+        0, "x")
+    before_files = set(t.snapshot().files)
+    # source: two versions per key; latest (ord=1) must win the dedup
+    src = spark.createDataFrame(
+        [("r1", "a", "old_fill", 0), ("r1", "a", "new_fill", 1),
+         ("r1", "b", "old_fill", 0), ("r1", "b", "new_fill", 1)],
+        ["repo", "path", "content", "ord"])
+    ver = merge_backfill(t, src, set_cols=["content"], order_col="ord")
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got[("r1", "a")] == "v1"           # non-NULL target untouched
+    assert got[("r1", "b")] == "new_fill"     # NULL filled by deduped latest
+    assert got[("r2", "c")] is None           # unmatched key stays NULL
+    # bucket pruning: untouched buckets' files survive the commit
+    doc = t._read_doc(ver)
+    assert doc["properties"]["backfill"]["buckets"] != "all"
+    assert set(doc["removes"]) < before_files  # strict subset: pruned
+    assert t.read().filter("repo LIKE 'spread%'").count() == 40
+
+
+def test_runner_max_bytes_per_trigger(spark, tmp_table_dir):
+    """S3 throttle: byte-bounded triggers split the backlog into more,
+    smaller micro-batches than the file-count bound alone."""
+    from etl_api_bigquery_spark.cdc.generator import write_feed_as_epoch_files
+    from etl_api_bigquery_spark.streaming import CdcStreamRunner
+    feed = change_feed(spark, n_events=20000, n_keys=2000, n_epochs=4)
+    feed_dir = os.path.join(tmp_table_dir, "feed")
+    write_feed_as_epoch_files(feed, feed_dir, files_per_epoch=4)
+    t = make_table(spark, tmp_table_dir)
+    runner = CdcStreamRunner(
+        spark, t, feed_dir, os.path.join(tmp_table_dir, "ck"),
+        txn_app="thr", mode="mor",
+        max_bytes_per_trigger=1,  # 1 byte bound -> 1 file per trigger
+    )
+    runner.run_available_now()
+    applied = [m for m in runner.metrics if not m.skipped_fence]
+    assert len(applied) == 16  # byte bound forced one file per micro-batch
+    assert_replay_match(t.read(), expected_final_state(feed))
+
+
+def test_lineage_events_per_sec(spark, tmp_table_dir):
+    from etl_api_bigquery_spark.meta.lineage import lineage_df
+    t = make_table(spark, tmp_table_dir)
+    merge_cdc_batch(t, events_df(spark, [evt(1, "I", "r1", "a", "v1")]),
+                    0, "x", mode="mor")
+    merge_cdc_batch(t, events_df(spark, [evt(2, "U", "r1", "a", "v2")]),
+                    1, "x", mode="cow")
+    lin = lineage_df(spark, t).filter("events_per_sec IS NOT NULL").collect()
+    assert len(lin) == 2 and all(r.events_per_sec > 0 for r in lin)

@@ -219,3 +219,25 @@ def test_near_dup_pairs_lsh_equals_brute(spark):
     lsh = {(r.id_a, r.id_b) for r in
            near_dup_pairs(emb, threshold=0.35, method="lsh").collect()}
     assert brute == lsh and len(brute) > 0
+
+
+def test_full_quality_report_and_validate_coerce(spark):
+    from etl_api_bigquery_spark.operators.quality import (full_quality_report,
+                                                          validate_coerce)
+    df = spark.createDataFrame(
+        [("1", "a", 10), ("2", None, 20), ("x", "c", 30), ("4", "d", None)],
+        ["id_str", "name", "v"])
+    rep = full_quality_report(df, required_cols=["name"], key_cols=["id_str"],
+                              type_specs={"id_str": "int"}).collect()[0]
+    assert rep.total_rows == 4
+    assert abs(rep.null_rate_name - 0.25) < 1e-9
+    assert rep.dup_rate == 0.0
+    assert abs(rep.type_correctness - 0.75) < 1e-9   # 'x' fails int
+    assert rep.checks_passed == 1                     # only dup check passes
+    assert abs(rep.score - 33.33) < 0.01
+    ok = validate_coerce(df, required={"id_str": "int"},
+                         optional={"v": "long"}).collect()
+    assert {r.id_str for r in ok} == {1, 2, 4}        # 'x' row dropped
+    assert all(isinstance(r.id_str, int) for r in ok)  # coerced
+    names = {r.id_str: r.name for r in ok}
+    assert names[2] is None                            # extras pass through
