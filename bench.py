@@ -127,7 +127,11 @@ def main() -> None:
                              key_cols=["repo", "path"],
                              num_buckets=max(32, CPUS * 2))
 
+    # BENCH_PREFILTER: "on" (default, merge decides), "off" -> raw dedup path
+    pf_env = os.environ.get("BENCH_PREFILTER", "")
+    prefilter = {"off": False, "on": True}.get(pf_env, None)
     runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
+                             prefilter=prefilter,
                              salt_buckets=8, mode="mor",
                              # threshold < n_epochs so at least one
                              # compaction lands INSIDE the timed window —
@@ -164,6 +168,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
 
+    # streaming-wrapper vs merge-core decomposition from the query's own
+    # per-trigger durationMs (driver-serial phases the scaling report audits)
+    prog = runner.progress
+    wrapper_ms: dict[str, float] = {}
+    for p in prog:
+        for k, v in (p.get("durationMs") or {}).items():
+            wrapper_ms[k] = wrapper_ms.get(k, 0.0) + float(v)
+    n_trig = max(len(prog), 1)
+    trigger_breakdown = {k: round(v / n_trig / 1000.0, 3)
+                         for k, v in sorted(wrapper_ms.items())}
+
     out = {
         "metric": "cdc_merge_apply_replay",
         "value": round(replay_sec, 3),
@@ -176,6 +191,7 @@ def main() -> None:
         "replay_rows_matched": match["total"],
         "n_compactions_in_window": sum(
             1 for h in table.history() if h["action"] == "compact_deltas"),
+        "trigger_avg_sec": trigger_breakdown,
         "queries": qtimes,
         "sf": sf,
     }

@@ -110,11 +110,12 @@ def lww_prefilter(
     events: DataFrame,
     key_cols: list[str],
     lsn_col: str = "lsn",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Bandwidth-reducing first pass of LWW dedup: find each key's winning
-    (max) LSN over a NARROW shuffle of just ``key_cols + lsn`` (Catalyst
-    column-prunes the wide payload out of this subtree), broadcast the winner
-    LSN set, and map-side semi-join the full batch against it.
+    (max) LSN over a NARROW shuffle of just ``(key_hash, lsn)`` (Catalyst
+    column-prunes the wide payload out of this subtree), compress the winner
+    set, and filter the full batch against it map-side.
 
     Why: the naive dedup shuffles full rows — for content-heavy CDC events
     (~hundreds of bytes each) the shuffle ser/deser of payload bytes is the
@@ -127,33 +128,32 @@ def lww_prefilter(
     caller still runs :func:`lww_dedup` on the filtered rows, which is cheap
     because survivors ≈ distinct keys.
 
-    The semi-join is on ``key_cols + lsn`` (not lsn alone): joining on the
-    bare LSN would let an event of a DIFFERENT key sharing a winning LSN slip
-    through (harmless but wasteful), and with epoch-style non-unique LSNs the
-    filter would pass nearly everything while still paying its shuffle.
-    Key columns match null-safely (``<=>``) — NULL-keyed legacy rows are a
-    supported input (sentinel bucketing; the reference repairs them in MERGE,
-    loader.py:517-519).
+    The membership test is on ``(key, lsn)`` composites (not lsn alone):
+    testing the bare LSN would let an event of a DIFFERENT key sharing a
+    winning LSN slip through (harmless but wasteful), and with epoch-style
+    non-unique LSNs the filter would pass nearly everything while still
+    paying its shuffle.
 
-    Events with NULL lsn never equi-match and are filtered out here — by
+    Events with NULL lsn never match and are filtered out here — by
     contract (documented on :func:`merge_cdc_batch`) the CDC envelope requires
     a total, non-NULL LSN order; NULL-lsn rows are undefined input that the
     unfiltered path would mangle anyway (``max_by`` over a NULL ordering key).
 
-    The broadcast carries ``(xxhash64(keys), lsn)`` pairs — 16 bytes per key
-    — instead of the raw (possibly long string) keys: the winner set's only
-    job is to pass each key's own max-LSN event, and a key's own
-    ``(hash, max_lsn)`` entry is in the set by construction, so hashing can
-    only ADD spurious passes (a different key colliding on both hash and
-    LSN), never drop a winner. Spurious survivors are folded by the
+    The winner set's only job is to pass each key's own max-LSN event, and a
+    key's own entry is in the set by construction — so any lossy-compressed
+    representation that can only ADD spurious passes (hash collisions, bloom
+    false positives) is sound: spurious survivors are folded by the
     downstream :func:`lww_dedup` / read-side LWW exactly like LSN ties.
     NULL keys hash via the same coalesce-to-sentinel rule as bucketing, so
     NULL-keyed legacy rows are filtered consistently.
 
-    Memory bound: the broadcast is ~16 bytes × (keys in batch) per executor
-    — tens of millions of keys per micro-batch is ~hundreds of MB; beyond
-    that disable prefiltering (``prefilter=False`` on merge_cdc_batch) or
-    raise executor memory."""
+    ``strategy="broadcast"`` (the only one currently): exact
+    ``(xxhash64(keys), lsn)`` pair semi-join — 16 bytes/key in the broadcast
+    instead of raw string keys, so the driver-side relation build handles
+    millions of keys in sub-second time. (A bloom_filter_agg variant would
+    shrink the driver build further, but Spark does not expose that
+    aggregate through the public function registry.)
+    """
     kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
                       for k in key_cols])
     winners = (events.groupBy(kh.alias("_kh"))
@@ -352,8 +352,8 @@ def merge_cdc_batch(
             props["txn_app"] = txn_app
             props["txn_batch"] = batch_id
         snap0 = table.snapshot()
-        src = (lww_prefilter(events, key_cols, lsn_col) if prefilter
-               else events)
+        src = (lww_prefilter(events, key_cols, lsn_col)
+               if prefilter else events)
         raw = src.withColumn(BUCKET_COL, table.bucket_expr())
         delta = raw.select(
             *[(F.col(f.name).cast(f.dataType).alias(f.name)
@@ -388,7 +388,8 @@ def merge_cdc_batch(
     # skip it. The narrow (hash, lsn) prefilter aggregation itself is
     # skew-immune: its partial (map-side) aggregation collapses a hot key's
     # flood before the 16-byte rows ever shuffle.
-    src = (lww_prefilter(events, key_cols, lsn_col) if prefilter else events)
+    src = (lww_prefilter(events, key_cols, lsn_col)
+           if prefilter else events)
     effective_salt = 0 if prefilter else salt_buckets
     evb = src.withColumn(BUCKET_COL, table.bucket_expr())
     evb = evb.repartition(table.num_buckets, F.col(BUCKET_COL))

@@ -45,6 +45,7 @@ class CdcStreamRunner:
     max_bytes_per_trigger: int | None = None
     salt_buckets: int = 0
     mode: str = "cow"                      # "cow" | "mor" write strategy
+    prefilter: bool | None = None          # None = merge_cdc_batch default
     auto_compact_deltas: int = 16
     transform: Callable[[DataFrame], DataFrame] | None = None
     # optional stateful pre-filter (applyInPandasWithState): drops events
@@ -54,6 +55,11 @@ class CdcStreamRunner:
     # already guarantee correctness without it.
     stateful_staleness_filter: bool = False
     metrics: list[MergeMetrics] = field(default_factory=list)
+    # per-trigger durationMs breakdown from StreamingQueryProgress
+    # (addBatch / getBatch / latestOffset / queryPlanning / walCommit /
+    # commitOffsets / triggerExecution) — the measured cost of the streaming
+    # wrapper vs the merge core, used by the scaling-evidence reports
+    progress: list[dict[str, Any]] = field(default_factory=list)
     fail_after_batches: int | None = None  # test hook: crash mid-stream
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -67,6 +73,7 @@ class CdcStreamRunner:
             self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
             salt_buckets=self.salt_buckets, mode=self.mode,
             auto_compact_deltas=self.auto_compact_deltas,
+            prefilter=self.prefilter,
         )
         self.metrics.append(m)
 
@@ -95,6 +102,17 @@ class CdcStreamRunner:
         try:
             q.awaitTermination(timeout_sec)
         finally:
+            try:
+                import json as _json
+                raw = []
+                for p in (q.recentProgress or []):
+                    d = p if isinstance(p, dict) else _json.loads(p.json)
+                    raw.append({"batchId": d.get("batchId"),
+                                "numInputRows": d.get("numInputRows"),
+                                "durationMs": d.get("durationMs", {})})
+                self.progress = raw
+            except Exception:  # progress is best-effort telemetry
+                pass
             if q.isActive:
                 q.stop()
         if q.exception() is not None:

@@ -116,3 +116,17 @@ def test_merge_dedup_pipeline_shuffle_budget(spark, tmp_table_dir):
     assert count_exchanges(winners) == 2
     assert plan.count("BroadcastExchange") == 1
     assert "partial_max" in plan  # map-side combine on the narrow agg
+
+
+def test_near_dup_lsh_has_no_cartesian(spark):
+    """The default (scale-path) near_dup_pairs must be a banded bucket join —
+    no CartesianProduct / BroadcastNestedLoopJoin in the physical plan."""
+    from etl_api_bigquery_spark.operators.similarity import near_dup_pairs
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = near_dup_pairs(emb, threshold=0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    brute = near_dup_pairs(emb, threshold=0.5, method="brute")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert ("CartesianProduct" in brute) or ("NestedLoop" in brute)
