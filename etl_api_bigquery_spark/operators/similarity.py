@@ -223,7 +223,11 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane LSH bucketing + exact rescoring within
-    buckets. Recall < 1 by construction; tune bits/bands."""
+    buckets. Recall < 1 by construction; tune bits/bands.
+
+    ``dim``: pass explicitly at scale — inferring it costs one tiny
+    driver-side metadata action (``first()`` on the pruned vector column),
+    fine interactively but an avoidable sync point inside pipelines."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     chunk = bits // bands

@@ -39,6 +39,17 @@ def _canon_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def ansi_like_driver(spark):
+    """The per-round harness runs a stock Spark 4 session where ANSI mode is
+    ON — mirror it here so ANSI-fragile expressions (plain casts, element_at,
+    bare division) fail in CI before they fail in the driver."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
