@@ -431,16 +431,43 @@ class LakeTable:
     def expire_tombstones(self, below_lsn: int,
                           properties: dict[str, Any] | None = None) -> int:
         """GC delete tombstones whose LSN is below the feed's low-watermark
-        (no event with a lower LSN can still arrive). Copy-on-write rewrite."""
+        (no event with a lower LSN can still arrive). Copy-on-write rewrite
+        of ONLY the buckets that may hold an expirable tombstone, found from
+        the manifest's ``_op``/``_lsn`` footer stats: a file whose min(_op)
+        sorts above 'D' has no tombstones at all, and one whose min(_lsn) is
+        already >= the low-watermark has none old enough. At 100 TB this
+        maintenance pass touches the few buckets with old deletes, not the
+        table."""
         snap = self.snapshot()
-        full = self.read(with_bucket=True)
+        entries = list(snap.files.values())
+
+        def may_have_expirable(e: FileEntry) -> bool:
+            st_op = e.stats.get(OP_COL)
+            if st_op is not None and st_op[0] > "D":
+                return False                      # no 'D' rows in this file
+            st_lsn = e.stats.get(LSN_COL)
+            if st_lsn is not None and st_lsn[0] >= below_lsn:
+                return False                      # every row too new
+            return True                           # stats missing: conservative
+
+        may = [e for e in entries if may_have_expirable(e)]
+        if not may:
+            return snap.version                   # nothing can expire: no-op
+        if any(e.bucket == MIXED_BUCKET for e in may):
+            buckets: list[int] | None = None
+            victims = entries
+        else:
+            buckets = sorted({e.bucket for e in may})
+            victims = snap.files_for_buckets(buckets)
+        full = self.read(buckets=buckets, with_bucket=True)
         keep = full.filter(~((F.coalesce(F.col(OP_COL), F.lit("U")) == "D")
                              & (F.col(LSN_COL) < below_lsn)))
         props = dict(properties or {})
         props["tombstones_expired_below"] = below_lsn
-        return self.commit_rewrite(keep, list(snap.files.values()),
-                                   "expire_tombstones", snap.schema,
-                                   snap.schema_id, props)
+        props["expire_pruned_buckets"] = (
+            buckets if buckets is not None else "all")
+        return self.commit_rewrite(keep, victims, "expire_tombstones",
+                                   snap.schema, snap.schema_id, props)
 
     def is_empty(self) -> bool:
         return self.snapshot().num_rows == 0

@@ -200,3 +200,29 @@ def test_delete_where_bucket_pruned(spark, tmp_table_dir):
     # unprunable predicate: no-op fast path when nothing can match
     v0 = after.version
     assert t.delete_where("v = -5", prune_predicates=[("v", "=", -5)]) == v0
+
+
+def test_expire_tombstones_bucket_pruned(spark, tmp_table_dir):
+    """Tombstone GC rewrites only buckets whose stats admit an expirable
+    delete; tombstone-free buckets ride through untouched."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.StringType())])
+    t = LakeTable.create(spark, tmp_table_dir + "/et", schema,
+                         key_cols=["k"], num_buckets=8)
+    ev = spark.createDataFrame(
+        [(i, "I", f"k{i}", "x") for i in range(40)] +
+        [(100, "D", "k0", None)],                       # one delete
+        ["lsn", "op", "k", "v"])
+    merge_cdc_batch(t, ev, 0, "x", lsn_col="lsn", op_col="op")
+    before = set(t.snapshot().files)
+    ver = t.expire_tombstones(below_lsn=1000)
+    doc = t._read_doc(ver)
+    assert doc["properties"]["expire_pruned_buckets"] != "all"
+    assert 0 < len(doc["removes"]) < len(before)        # partial rewrite
+    assert t.read().count() == 39                        # k0 stays deleted
+    # no expirable tombstones left -> no-op fast path (no new commit)
+    assert t.expire_tombstones(below_lsn=1000) == t.snapshot().version
