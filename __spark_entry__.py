@@ -406,7 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from etl_api_bigquery_spark.operators.gold import (
             product_sales_metrics, product_summary)
         return product_summary(product_sales_metrics(
-            _t(spark, sf, "lineitem"), _t(spark, sf, "part")))
+            _t(spark, sf, "lineitem"), _t(spark, sf, "part"),
+            keep_exact=True))
     q["gold_product_summary"] = gold_product_summary
 
     def q1_pricing_summary(spark, sf):
@@ -478,14 +479,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_exact"] = cosine_topk_exact
 
     def embedding_near_dup_pairs(spark, sf):
-        # embedding-cosine near-duplicate detection (semantic dedup) —
-        # LSH-block-then-verify (the scale path; O(n²) cartesian only in the
-        # DuckDB oracle). Band parameters give recall ≈ 1-3e-7 per pair at
-        # the 0.35 threshold, so the blocked result equals the brute-force
-        # oracle exactly.
+        # embedding-cosine near-duplicate detection (semantic dedup) at a
+        # LOW threshold (0.35): qualifying pairs sit ~3σ above the random
+        # background (p = 1-acos(0.35)/π ≈ 0.61 per hyperplane), so banded
+        # LSH cannot block here — recall-1 banding would need chunk≥8 AND
+        # ~900 bands, strictly more work than all-pairs. The correct plan at
+        # low thresholds IS the scoped brute comparison (broadcast
+        # nested-loop, no shuffle); the LSH scale path is exercised at a
+        # blockable threshold by embedding_near_dup_lsh below.
         emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
-        return near_dup_pairs(emb, threshold=0.35, method="lsh")
+        return near_dup_pairs(emb, threshold=0.35, method="brute")
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    def embedding_near_dup_lsh(spark, sf):
+        # the LSH scale path at a blockable threshold, with a deterministic
+        # recall guarantee: plant exact duplicates (vec_id+10000, same
+        # vector) for vec_id < 100 — identical vectors get identical
+        # 128-bit signatures, so every planted pair shares ALL 8 bands
+        # (recall = 1 by construction, not probabilistically), while the
+        # background corpus (max pairwise cos 0.46 « 0.99) contributes no
+        # qualifying pairs. chunk = 128/8 = 16 bits -> 65536 buckets/band,
+        # so candidate volume is ~n + collisions, provably sub-quadratic —
+        # the DuckDB oracle is the exact all-pairs result it must equal.
+        emb = _t(spark, sf, "embeddings").filter("vec_id < 300") \
+            .select("vec_id", "embedding")
+        planted = (_t(spark, sf, "embeddings").filter("vec_id < 100")
+                   .select((F.col("vec_id") + 10000).alias("vec_id"),
+                           "embedding"))
+        return near_dup_pairs(emb.unionByName(planted), threshold=0.99,
+                              method="lsh", bits=128, bands=8, dim=64)
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 
     # ---------------- formerly rows-only ops, now oracle-checked -----------
     def minhash_lsh_pairs(spark, sf):
@@ -514,7 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracle is the EXACT top-k — any signature/banding
         # regression (e.g. round 1's collapsed hyperplanes) goes red
         emb = _t(spark, sf, "embeddings")
-        res = lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8)
+        res = lsh_topk(emb, emb.filter("vec_id < 5"), k=3, bits=16, bands=8,
+                       dim=64)
         return res.select("q_id", "neighbor_id", "rk",
                           F.round("cos", 4).alias("cos_r"))
     q["ann_lsh_topk"] = ann_lsh_topk
@@ -614,24 +638,33 @@ def oracle_sql() -> dict[str, str]:
     # sides: double->decimal cast rounding differs between engines at
     # .xx5-edge doubles (Spark HALF_UP vs DuckDB round-half-even) and flaked
     # the round-1 hash; a rounded double is never at a cast midpoint.
-    _PRODUCT_SALES_SQL = """
+    # the aggregation stays exact decimal; only the FINAL projection casts to
+    # double on BOTH engines — decimal objects canonicalize differently
+    # between Spark toPandas() and DuckDB .df() (Decimal('x.0000') vs float),
+    # which hash-flaked r2 even though the values were numerically identical.
+    _PRODUCT_SALES_DEC_SQL = """
         SELECT p_partkey, p_name, p_brand,
                CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
                         * (1 - CAST(ROUND(l_discount, 2) AS DECIMAL(12,2))))
-                    AS DECIMAL(38,4)) AS revenue,
+                    AS DECIMAL(38,4)) AS revenue_dec,
                ROUND(SUM(l_quantity), 2) AS units_sold,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_partkey, p_name, p_brand
     """
-    o["gold_product_sales"] = _PRODUCT_SALES_SQL
+    o["gold_product_sales"] = f"""
+        SELECT p_partkey, p_name, p_brand,
+               CAST(revenue_dec AS DOUBLE) AS revenue, units_sold, n_lines
+        FROM ({_PRODUCT_SALES_DEC_SQL})
+    """
 
     o["gold_product_summary"] = f"""
-        WITH m AS ({_PRODUCT_SALES_SQL})
+        WITH m AS ({_PRODUCT_SALES_DEC_SQL})
         SELECT p_brand,
-               CAST(SUM(revenue) AS DECIMAL(38,4)) AS brand_revenue,
+               CAST(CAST(SUM(revenue_dec) AS DECIMAL(38,4)) AS DOUBLE)
+                   AS brand_revenue,
                COUNT(*) AS n_products,
-               CAST(MAX(revenue) AS DECIMAL(38,4)) AS top_product_revenue
+               CAST(MAX(revenue_dec) AS DOUBLE) AS top_product_revenue
         FROM m GROUP BY p_brand
     """
 
@@ -678,6 +711,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < 300 AND b.vec_id < 300
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """
+
+    # exact all-pairs over the planted-duplicate corpus: the banded-LSH
+    # result must EQUAL this (identical vectors share all bands -> recall 1
+    # by construction; background max cos 0.46 contributes nothing at 0.99)
+    o["embedding_near_dup_lsh"] = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 100)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cos_r
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.99
     """
 
     o["widen_and_project"] = """

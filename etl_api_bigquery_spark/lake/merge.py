@@ -156,8 +156,16 @@ def lww_prefilter(
     """
     kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
                       for k in key_cols])
-    winners = (events.groupBy(kh.alias("_kh"))
-               .agg(F.max(lsn_col).alias("_w_lsn")))
+    # Group by the REAL keys, then project the 64-bit hash for the broadcast
+    # relation. Grouping by the hash directly would merge two colliding keys
+    # into one group whose max(lsn) matches only the larger key's winner —
+    # the other key's latest event would be silently DROPPED (one-sided error
+    # in the wrong direction: a loss, not a spurious pass). Hashing after the
+    # exact group keeps the soundness claim above true: a collision can only
+    # let extra rows through, which lww_dedup folds. Same 16-byte broadcast.
+    winners = (events.groupBy(*key_cols)
+               .agg(F.max(lsn_col).alias("_w_lsn"))
+               .select(kh.alias("_kh"), "_w_lsn"))
     left = events.withColumn("_kh", kh)
     cond = ((left["_kh"] == winners["_kh"])
             & (left[lsn_col] == winners["_w_lsn"]))

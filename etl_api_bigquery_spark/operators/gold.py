@@ -33,7 +33,8 @@ def customer_lifetime_value(orders: DataFrame, customers: DataFrame,
                     agg[custkey] == customers["c_custkey"])
 
 
-def product_sales_metrics(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+def product_sales_metrics(lineitem: DataFrame, part: DataFrame,
+                          keep_exact: bool = False) -> DataFrame:
     j = lineitem.join(F.broadcast(part),
                       lineitem["l_partkey"] == part["p_partkey"])
     # money arithmetic fully in DECIMAL: the inputs are nominally-2dp doubles,
@@ -50,20 +51,40 @@ def product_sales_metrics(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     price = F.round(F.col("l_extendedprice"), 2).cast("decimal(12,2)")
     disc = F.round(F.col("l_discount"), 2).cast("decimal(12,2)")
     rev = price * (F.lit(1) - disc)
-    return (j.groupBy("p_partkey", "p_name", "p_brand")
-            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
-                 F.round(F.sum("l_quantity"), 2).alias("units_sold"),
-                 F.count("*").alias("n_lines")))
+    # The SUM stays exact decimal (order-independent at any parallelism);
+    # only the final projection casts to double. The decimal value is exact,
+    # so decimal->double is a single deterministic rounding that any engine
+    # performs identically — this keeps the cross-engine value hash stable
+    # (decimal object reprs differ between engines; doubles do not).
+    # ``keep_exact`` additionally carries the exact decimal as
+    # ``_revenue_dec`` for downstream roll-ups (product_summary must NOT sum
+    # doubles — double addition is order-dependent).
+    agg = (j.groupBy("p_partkey", "p_name", "p_brand")
+           .agg(F.sum(rev).cast("decimal(38,4)").alias("_revenue_dec"),
+                F.round(F.sum("l_quantity"), 2).alias("units_sold"),
+                F.count("*").alias("n_lines")))
+    cols = ["p_partkey", "p_name", "p_brand",
+            F.col("_revenue_dec").cast("double").alias("revenue"),
+            "units_sold", "n_lines"]
+    if keep_exact:
+        cols.append("_revenue_dec")
+    return agg.select(*cols)
 
 
 def product_summary(metrics: DataFrame) -> DataFrame:
     """The fifth gold table (test_gold_aggregation.py:42-113): per-brand
-    roll-up of product_sales_metrics. Decimal in, decimal out — exact."""
+    roll-up of product_sales_metrics. Aggregates in exact decimal
+    (``_revenue_dec`` when the caller passed ``keep_exact=True``; otherwise
+    the double ``revenue`` is re-quantized — exact only while values stay
+    well inside double's 15-digit precision), then projects doubles for a
+    stable cross-engine representation."""
+    rev = (F.col("_revenue_dec") if "_revenue_dec" in metrics.columns
+           else F.col("revenue").cast("decimal(38,4)"))
     return (metrics.groupBy("p_brand")
-            .agg(F.sum("revenue").cast("decimal(38,4)").alias("brand_revenue"),
+            .agg(F.sum(rev).cast("decimal(38,4)").cast("double")
+                 .alias("brand_revenue"),
                  F.count("*").alias("n_products"),
-                 F.max("revenue").cast("decimal(38,4)")
-                 .alias("top_product_revenue")))
+                 F.max(rev).cast("double").alias("top_product_revenue")))
 
 
 def inventory_analytics(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:

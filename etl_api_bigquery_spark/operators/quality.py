@@ -112,8 +112,28 @@ def validate_coerce(df: DataFrame, required: dict[str, str],
     try_cast (the string-id -> int rule of ProductRecord.coerce_id), rows
     whose REQUIRED columns are NULL/uncoercible are dropped (the reference
     raises ValidationError and skips the record), and extra columns pass
-    through untouched (model_config extra="allow")."""
+    through untouched (model_config extra="allow").
+
+    Key hygiene (matches the reference's ValidationError semantics instead of
+    an unresolved-column AnalysisException): a REQUIRED column absent from
+    the DataFrame means every record fails validation — the result is empty,
+    with the missing column present as a typed NULL so the output schema
+    stays stable; a typo'd OPTIONAL key is rejected up front (it would
+    otherwise be silently ignored)."""
     opt = optional or {}
+    missing_opt = sorted(set(opt) - set(df.columns))
+    if missing_opt:
+        raise ValueError(
+            f"optional columns not in DataFrame: {missing_opt} "
+            f"(have: {sorted(df.columns)})")
+    missing_req = sorted(set(required) - set(df.columns))
+    if missing_req:
+        # reference behavior: required-field-missing fails EVERY record
+        # (validators.py raises ValidationError per record -> all skipped)
+        pad = df.select(
+            *df.columns,
+            *[F.lit(None).cast(required[c]).alias(c) for c in missing_req])
+        return validate_coerce(pad, required, optional)  # all-NULL -> empty
     out = []
     for c in df.columns:
         if c in required:

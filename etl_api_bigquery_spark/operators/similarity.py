@@ -135,21 +135,35 @@ def ivf_topk(
 def near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, method: str = "lsh",
-    bits: int = 16, bands: int = 16, dim: int | None = None, seed: int = 42,
+    bits: int = 128, bands: int = 8, dim: int | None = None, seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
     — the semantic-dedup primitive.
 
     ``method="lsh"`` (default, the scale path): block by random-hyperplane
-    band buckets, exact-cosine verify only within blocks. Shuffle volume is
-    bounded by bucket sizes — never the O(n²) cartesian. Expected recall per
-    pair at cosine c is 1-(1-p^chunk)^bands with p = 1-acos(c)/π; size
-    bits/bands so p^chunk·bands covers your threshold (at the default
-    chunk=1, a c=0.35 pair is caught with prob ≈ 1-3e-7; production
-    thresholds of 0.9+ allow chunk 4+ for smaller buckets).
+    band buckets, exact-cosine verify only within blocks. Bucket-bounded
+    shuffle REQUIRES wide band chunks: with chunk = bits//bands bits per
+    band there are 2^chunk buckets per band, so expected candidate volume is
+    ≈ bands · n²/2^chunk for uncorrelated vectors — sub-quadratic only when
+    2^chunk ≫ bands. chunk=1 (round-2's 16/16 default) degenerates to ~4n²
+    candidates, WORSE than the brute cartesian; chunk < 2 is therefore
+    rejected with ValueError. Expected recall per pair at cosine c is
+    1-(1-p^chunk)^bands with p = 1-acos(c)/π. The defaults (128 bits, 8
+    bands, chunk=16) suit production thresholds ≥ 0.95: per-pair recall
+    ≈ 0.80 at c=0.95, ≈ 0.994 at c=0.99, and exactly 1 for duplicates at
+    c=1 (identical vectors ⇒ identical signatures — deterministic, not
+    probabilistic); raise bands for higher recall at the margin. LOW
+    thresholds (≲ 0.5) are NOT LSH-friendly: p ≈ 0.61 at
+    c=0.35 would need chunk ≥ 8 AND ~900 bands for recall ≈ 1 — for those,
+    use ``method="brute"`` on a scoped corpus; the blocked path cannot beat
+    all-pairs there.
 
-    ``method="brute"``: the all-pairs cartesian — O(n²), ONLY for small-sf
-    oracle/verification runs (it is what the DuckDB oracle mirrors).
+    ``method="brute"``: the all-pairs comparison — O(n²) but shuffle-free
+    (broadcast nested-loop on the smaller projection); the correct plan for
+    low thresholds and for small-sf oracle verification.
+
+    ``dim``: pass explicitly at scale — inferring it costs one driver-side
+    ``first()`` sync point.
     """
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).cast("array<double>").alias("va"))
@@ -161,6 +175,12 @@ def near_dup_pairs(
         if dim is None:
             dim = len(emb.select(vec_col).first()[0])
         chunk = bits // bands
+        if chunk < 2:
+            raise ValueError(
+                f"degenerate LSH banding: bits={bits}, bands={bands} gives "
+                f"chunk={chunk} (<2 bits/band -> <=2 buckets/band, candidate "
+                f"volume ~bands*n^2). Use bits >= 2*bands, e.g. bits=128 "
+                f"bands=8, or method='brute' for low thresholds.")
         sig = _hyperplane_sig(F.col(vec_col).cast("array<double>"), bits, dim,
                               seed)
         banded = emb.select(

@@ -39,10 +39,21 @@ class CdcStreamRunner:
     max_files_per_trigger: int = 1
     # source throttling / backpressure (S3 — the Spark-native analogue of
     # the reference's token-bucket rate limiter, shared/nhanh/client.py:27-90):
-    # bound each micro-batch by BYTES as well as file count, so one oversized
-    # drop-zone file cannot blow the executor memory budget of a trigger.
+    # bound each micro-batch by BYTES as well as file count. The guarantee is
+    # "at most one oversized file per trigger": Spark's file source always
+    # admits at least one file, so a single file larger than the bound still
+    # exceeds it — size drop-zone files below the bound for a hard ceiling.
     # None = unbounded (file-count bound only).
     max_bytes_per_trigger: int | None = None
+    # rate-over-time governor (the token-bucket analogue of the reference's
+    # RateLimiter, shared/nhanh/client.py:27-90): hold SUSTAINED ingest at or
+    # below target events/sec by pacing between triggers — after each batch,
+    # sleep until cumulative_events / elapsed <= target. The byte/file bounds
+    # above cap burst size per trigger; this caps the average rate. None =
+    # unthrottled.
+    target_events_per_sec: float | None = None
+    _rate_t0: float | None = field(default=None, repr=False)
+    _rate_events: int = field(default=0, repr=False)
     salt_buckets: int = 0
     mode: str = "cow"                      # "cow" | "mor" write strategy
     prefilter: bool | None = None          # None = merge_cdc_batch default
@@ -76,14 +87,42 @@ class CdcStreamRunner:
             prefilter=self.prefilter,
         )
         self.metrics.append(m)
+        if self.target_events_per_sec is not None:
+            self._pace(m)
+
+    def _pace(self, m: MergeMetrics) -> None:
+        """Token-bucket pacing: sleep so cumulative events / elapsed wall
+        never exceeds the target rate. Runs on the driver between triggers —
+        zero executor cost, and the sleep overlaps nothing the availableNow
+        drain would otherwise use."""
+        import time
+        now = time.monotonic()
+        if self._rate_t0 is None:
+            self._rate_t0 = now - max(m.duration_sec, 1e-6)
+        self._rate_events += m.upserts + m.deletes
+        min_elapsed = self._rate_events / self.target_events_per_sec
+        sleep = min_elapsed - (now - self._rate_t0)
+        if sleep > 0:
+            time.sleep(sleep)
 
     def run_available_now(self, timeout_sec: int = 600) -> list[MergeMetrics]:
         """Drain all pending feed files in micro-batches, then stop."""
         reader = (self.spark.readStream.schema(feed_schema())
                   .option("latestFirst", "false"))
         # Spark's file source rejects byte + file bounds together; the byte
-        # bound (when configured) is the tighter backpressure control
+        # bound (when configured) is the tighter backpressure control.
+        # Unknown options are silently IGNORED by the file source, so on a
+        # Spark predating file-source maxBytesPerTrigger (< 4.0) the stream
+        # would run with NO bound at all — the opposite of backpressure.
+        # Fail loudly instead of degrading silently.
         if self.max_bytes_per_trigger is not None:
+            major = int(self.spark.version.split(".")[0])
+            if major < 4:
+                raise RuntimeError(
+                    f"max_bytes_per_trigger requires the file source's "
+                    f"maxBytesPerTrigger (Spark >= 4.0); this is Spark "
+                    f"{self.spark.version}, which would silently ignore the "
+                    f"option. Use max_files_per_trigger instead.")
             reader = reader.option("maxBytesPerTrigger",
                                    str(self.max_bytes_per_trigger))
         else:

@@ -212,13 +212,30 @@ def test_simhash_band_guarantee_exact(spark):
 
 
 def test_near_dup_pairs_lsh_equals_brute(spark):
+    """At a blockable threshold (0.99, planted exact duplicates) banded LSH
+    must equal brute force — identical vectors share identical signatures,
+    so recall is 1 by construction, not probabilistically."""
+    from pyspark.sql import functions as F
     from etl_api_bigquery_spark.operators.similarity import near_dup_pairs
-    emb = spark.read.parquet(SF + "/embeddings.parquet").filter("vec_id < 200")
+    emb = (spark.read.parquet(SF + "/embeddings.parquet")
+           .filter("vec_id < 200").select("vec_id", "embedding"))
+    planted = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
     brute = {(r.id_a, r.id_b) for r in
-             near_dup_pairs(emb, threshold=0.35, method="brute").collect()}
+             near_dup_pairs(corpus, threshold=0.99, method="brute").collect()}
     lsh = {(r.id_a, r.id_b) for r in
-           near_dup_pairs(emb, threshold=0.35, method="lsh").collect()}
-    assert brute == lsh and len(brute) > 0
+           near_dup_pairs(corpus, threshold=0.99, method="lsh",
+                          bits=128, bands=8, dim=64).collect()}
+    assert brute == lsh and len(brute) == 50
+
+
+def test_near_dup_pairs_rejects_degenerate_chunks(spark):
+    import pytest
+    from etl_api_bigquery_spark.operators.similarity import near_dup_pairs
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter("vec_id < 10")
+    with pytest.raises(ValueError, match="degenerate LSH banding"):
+        near_dup_pairs(emb, method="lsh", bits=16, bands=16, dim=64)
 
 
 def test_full_quality_report_and_validate_coerce(spark):
@@ -241,3 +258,17 @@ def test_full_quality_report_and_validate_coerce(spark):
     assert all(isinstance(r.id_str, int) for r in ok)  # coerced
     names = {r.id_str: r.name for r in ok}
     assert names[2] is None                            # extras pass through
+
+
+def test_validate_coerce_missing_columns(spark):
+    """Required column absent -> every record invalid (empty result, stable
+    schema); typo'd optional key -> ValueError, not silent ignore."""
+    import pytest
+    from etl_api_bigquery_spark.operators.quality import validate_coerce
+    df = spark.createDataFrame([("1", 10), ("2", 20)], ["id_str", "v"])
+    out = validate_coerce(df, required={"nope": "int", "id_str": "int"})
+    assert out.count() == 0
+    assert "nope" in out.columns                      # typed NULL pad
+    with pytest.raises(ValueError, match="optional columns not in"):
+        validate_coerce(df, required={"id_str": "int"},
+                        optional={"typo": "long"})
