@@ -179,6 +179,16 @@ def main() -> None:
     trigger_breakdown = {k: round(v / n_trig / 1000.0, 3)
                          for k, v in sorted(wrapper_ms.items())}
 
+    # merge-core phase decomposition (driver-serial vs distributed): avg of
+    # the steady batches' plan-build / write-job / harvest / fsync / compact
+    phase_sum: dict[str, float] = {}
+    phase_batches = [m for m in runner.metrics if not m.skipped_fence][1:]
+    for mm in phase_batches:
+        for k, v in (mm.extra.get("phases") or {}).items():
+            phase_sum[k] = phase_sum.get(k, 0.0) + float(v)
+    merge_phase_avg = {k: round(v / max(len(phase_batches), 1), 3)
+                       for k, v in sorted(phase_sum.items())}
+
     out = {
         "metric": "cdc_merge_apply_replay",
         "value": round(replay_sec, 3),
@@ -192,6 +202,7 @@ def main() -> None:
         "n_compactions_in_window": sum(
             1 for h in table.history() if h["action"] == "compact_deltas"),
         "trigger_avg_sec": trigger_breakdown,
+        "merge_phase_avg_sec": merge_phase_avg,
         "queries": qtimes,
         "sf": sf,
     }

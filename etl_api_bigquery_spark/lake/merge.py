@@ -454,9 +454,12 @@ def merge_cdc_batch(
                 "events_per_sec": round(m.keys / elapsed, 1),
             }}
 
+        _t_plan = time.monotonic() - t0   # fence + snapshot + DAG build
         m.version = table.append_deltas(delta, properties=props,
                                         repartition=False,
                                         props_fn=lineage_props)
+        _t_commit_done = time.monotonic()
+        _write_phases = dict(table.last_write_phases)  # before compaction
         # amortized compaction keeps read amplification bounded
         from .table import MIXED_BUCKET as _MB
         counts = table.delta_file_counts()
@@ -466,6 +469,14 @@ def merge_cdc_batch(
             table.compact_deltas(buckets=hot,
                                  properties={"auto_compact_for_batch": batch_id})
         m.duration_sec = time.monotonic() - t0
+        # driver-serial decomposition for the scaling evidence: everything
+        # except write_job_s is constant per trigger and amortizes with
+        # batch size
+        m.extra["phases"] = {
+            "plan_build_s": round(_t_plan, 4),
+            **_write_phases,
+            "compact_s": round(time.monotonic() - _t_commit_done, 4),
+        }
         return m
 
     # ---- copy-on-write: needs the touched-bucket list BEFORE reading the

@@ -148,6 +148,10 @@ class LakeTable:
         self.location = os.path.abspath(location)
         self._snap_cache: dict[int, Snapshot] = {}
         self._doc_cache: dict[int, dict[str, Any]] = {}  # commit log JSON docs
+        # driver-serial phase timings of the LAST write (write job vs footer
+        # harvest vs commit fsync) — telemetry for the scaling decomposition;
+        # merge_cdc_batch copies it into MergeMetrics.extra
+        self.last_write_phases: dict[str, float] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -231,6 +235,7 @@ class LakeTable:
             doc["table"] = table_meta
         path = self._log_path(version)
         payload = json.dumps(doc, separators=(",", ":")).encode()
+        _tc = time.monotonic()
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as e:
@@ -240,6 +245,8 @@ class LakeTable:
             os.fsync(fd)
         finally:
             os.close(fd)
+        self.last_write_phases["commit_fsync_s"] = round(
+            time.monotonic() - _tc, 4)
         self._snap_cache.pop(-1, None)
         return version
 
@@ -497,6 +504,7 @@ class LakeTable:
         out = _conform(out, target)
         rel_dir = f"{_DATA_DIR}/c{version:010d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.location, rel_dir)
+        _tw = time.monotonic()
         if bucket_pure:
             if repartition:
                 out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
@@ -504,7 +512,14 @@ class LakeTable:
             out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
         else:
             out.write.mode("overwrite").parquet(abs_dir)
-        return self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
+        _th = time.monotonic()
+        entries = self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
+        self.last_write_phases = {
+            "write_job_s": round(_th - _tw, 4),
+            "harvest_s": round(time.monotonic() - _th, 4),
+            "n_files": len(entries),
+        }
+        return entries
 
     # above this file count the footer harvest runs as a Spark job on
     # executors instead of a driver thread pool (env-tunable for tests)
