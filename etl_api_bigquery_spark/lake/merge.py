@@ -86,24 +86,34 @@ def lww_dedup(
     pathological single-key floods: phase 1 reduces per (key, salt), phase 2
     per key. Salt is derived from the LSN so it is deterministic.
     """
+    from .table import session_expr_cache
     cols = events.columns
-    row = F.struct(*[F.col(c) for c in cols]).alias("_row")
+    cache = session_expr_cache(events.sparkSession)
+    ck = ("lww_dedup", tuple(cols), tuple(key_cols), lsn_col,
+          int(salt_buckets or 0))
+    tpl = cache.get(ck)
+    if tpl is None:
+        # Column templates reused across micro-batches (the merge DAG is
+        # identical every trigger; only the source partition changes) —
+        # saves ~100 py4j round trips of driver-serial time per batch
+        row = F.struct(*[F.col(c) for c in cols]).alias("_row")
+        tpl = {
+            "salt": F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
+            if salt_buckets and salt_buckets > 1 else None,
+            "agg1": [F.max_by(row, F.col(lsn_col)).alias("_row"),
+                     F.max(lsn_col).alias("_mx")],
+            "agg2": F.max_by("_row", F.col("_mx")).alias("_row"),
+            "agg": F.max_by(row, F.col(lsn_col)).alias("_row"),
+            "unpack": [F.col(f"_row.{c}").alias(c) for c in cols],
+        }
+        cache[ck] = tpl
     if salt_buckets and salt_buckets > 1:
-        salted = events.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets)))
-        phase1 = (
-            salted.groupBy(*key_cols, "_salt")
-            .agg(F.max_by(row, F.col(lsn_col)).alias("_row"),
-                 F.max(lsn_col).alias("_mx"))
-        )
-        winner = (
-            phase1.groupBy(*key_cols)
-            .agg(F.max_by("_row", F.col("_mx")).alias("_row"))
-        )
+        salted = events.withColumn("_salt", tpl["salt"])
+        phase1 = salted.groupBy(*key_cols, "_salt").agg(*tpl["agg1"])
+        winner = phase1.groupBy(*key_cols).agg(tpl["agg2"])
     else:
-        winner = events.groupBy(*key_cols).agg(
-            F.max_by(row, F.col(lsn_col)).alias("_row"))
-    return winner.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+        winner = events.groupBy(*key_cols).agg(tpl["agg"])
+    return winner.select(*tpl["unpack"])
 
 
 def lww_prefilter(
@@ -154,8 +164,16 @@ def lww_prefilter(
     shrink the driver build further, but Spark does not expose that
     aggregate through the public function registry.)
     """
-    kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
-                      for k in key_cols])
+    from .table import session_expr_cache
+    cache = session_expr_cache(events.sparkSession)
+    ck = ("lww_prefilter", tuple(key_cols), lsn_col)
+    tpl = cache.get(ck)
+    if tpl is None:
+        kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"),
+                                     F.lit("\x00null")) for k in key_cols])
+        tpl = {"kh": kh, "kh_aliased": kh.alias("_kh"),
+               "agg": F.max(lsn_col).alias("_w_lsn")}
+        cache[ck] = tpl
     # Group by the REAL keys, then project the 64-bit hash for the broadcast
     # relation. Grouping by the hash directly would merge two colliding keys
     # into one group whose max(lsn) matches only the larger key's winner —
@@ -164,13 +182,37 @@ def lww_prefilter(
     # exact group keeps the soundness claim above true: a collision can only
     # let extra rows through, which lww_dedup folds. Same 16-byte broadcast.
     winners = (events.groupBy(*key_cols)
-               .agg(F.max(lsn_col).alias("_w_lsn"))
-               .select(kh.alias("_kh"), "_w_lsn"))
-    left = events.withColumn("_kh", kh)
+               .agg(tpl["agg"])
+               .select(tpl["kh_aliased"], "_w_lsn"))
+    left = events.withColumn("_kh", tpl["kh"])
     cond = ((left["_kh"] == winners["_kh"])
             & (left[lsn_col] == winners["_w_lsn"]))
     return left.join(F.broadcast(winners), on=cond,
                      how="left_semi").drop("_kh")
+
+
+def _delta_select_exprs(table: LakeTable, snap: Any, present_cols: set[str],
+                        lsn_col: str, op_col: str) -> list:
+    """Projection list for a delta write: table schema fields (NULL-padded /
+    cast) + (_bucket, _lsn, _op). Cached per (table, schema, input columns)
+    on the session — the list is identical every micro-batch, and rebuilding
+    it costs ~5 py4j round trips per column of driver-serial time."""
+    from .table import session_expr_cache
+    cache = session_expr_cache(table.spark)
+    ck = ("delta_select", table.location, snap.schema_id,
+          tuple(sorted(present_cols)), lsn_col, op_col)
+    exprs = cache.get(ck)
+    if exprs is None:
+        exprs = [
+            (F.col(f.name).cast(f.dataType).alias(f.name)
+             if f.name in present_cols
+             else F.lit(None).cast(f.dataType).alias(f.name))
+            for f in snap.schema.fields
+        ] + [F.col(BUCKET_COL),
+             F.col(lsn_col).cast("long").alias(LSN_COL),
+             F.col(op_col).alias(OP_COL)]
+        cache[ck] = exprs
+    return exprs
 
 
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
@@ -363,14 +405,9 @@ def merge_cdc_batch(
         src = (lww_prefilter(events, key_cols, lsn_col)
                if prefilter else events)
         raw = src.withColumn(BUCKET_COL, table.bucket_expr())
-        delta = raw.select(
-            *[(F.col(f.name).cast(f.dataType).alias(f.name)
-               if f.name in raw.columns
-               else F.lit(None).cast(f.dataType).alias(f.name))
-              for f in snap0.schema.fields],
-            F.col(BUCKET_COL),
-            F.col(lsn_col).cast("long").alias(LSN_COL),
-            F.col(op_col).alias(OP_COL))
+        delta = raw.select(*_delta_select_exprs(
+            table, snap0, set(events.columns) | {BUCKET_COL},
+            lsn_col, op_col))
         m.version = table.append_deltas(delta, properties=props,
                                         repartition=False, bucket_pure=False)
         adds = [e for e in table.snapshot(m.version).files.values()
@@ -402,11 +439,10 @@ def merge_cdc_batch(
     evb = src.withColumn(BUCKET_COL, table.bucket_expr())
     evb = evb.repartition(table.num_buckets, F.col(BUCKET_COL))
     winners = lww_dedup(evb, [BUCKET_COL] + key_cols, lsn_col, effective_salt)
-
-    payload = lambda f: (  # noqa: E731
-        F.col(f.name).cast(f.dataType).alias(f.name)
-        if f.name in winners.columns
-        else F.lit(None).cast(f.dataType).alias(f.name))
+    # winners' columns == events' + _bucket (lww_dedup is column-preserving);
+    # derive them instead of calling winners.columns, which would force an
+    # extra driver-side analysis of the whole dedup subtree per trigger
+    winner_cols = set(events.columns) | {BUCKET_COL}
 
     if mode == "mor":
         # ---- merge-on-read: ONE Spark job for the whole batch. Counts ride
@@ -414,17 +450,19 @@ def merge_cdc_batch(
         # per-bucket key counts / skew come from the bucket-pure delta files'
         # harvested footers. Empty batches still commit — the fence advances.
         from pyspark.sql import Observation
+        from .table import session_expr_cache
+        cache = session_expr_cache(events.sparkSession)
+        obs_aggs = cache.get(("mor_obs", op_col))
+        if obs_aggs is None:
+            obs_aggs = [
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0)
+                      ).alias("deletes")]
+            cache[("mor_obs", op_col)] = obs_aggs
         obs = Observation()
-        observed = winners.observe(
-            obs,
-            F.count(F.lit(1)).alias("keys"),
-            F.sum(F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0)
-                  ).alias("deletes"))
-        delta = observed.select(
-            *[payload(f) for f in snap.schema.fields],
-            F.col(BUCKET_COL),
-            F.col(lsn_col).cast("long").alias(LSN_COL),
-            F.col(op_col).alias(OP_COL))
+        observed = winners.observe(obs, *obs_aggs)
+        delta = observed.select(*_delta_select_exprs(
+            table, snap, winner_cols, lsn_col, op_col))
 
         props: dict[str, Any] = dict(extra_props or {})
         if txn_app is not None:
@@ -550,6 +588,10 @@ def merge_cdc_batch(
                      T.StructField(LSN_COL, T.LongType()),
                      T.StructField(OP_COL, T.StringType())])
         data_cols = [f.name for f in fields]
+        payload = lambda f: (  # noqa: E731
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in winner_cols
+            else F.lit(None).cast(f.dataType).alias(f.name))
         # effective D events are written as TOMBSTONE rows (kept in base,
         # filtered by public reads) so their LSN keeps guarding the key
         applied = (

@@ -152,6 +152,11 @@ class LakeTable:
         # harvest vs commit fsync) — telemetry for the scaling decomposition;
         # merge_cdc_batch copies it into MergeMetrics.extra
         self.last_write_phases: dict[str, float] = {}
+        # incremental fence state (see last_txn)
+        self._txn_best: dict[str, int] = {}
+        self._txn_hwm: int = -1
+        # reusable Column templates keyed by key_cols (see bucket_expr)
+        self._bucket_expr_cache: dict[tuple[str, ...], Any] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -259,15 +264,30 @@ class LakeTable:
             raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
         if v in self._snap_cache:
             return self._snap_cache[v]
-        files: dict[str, FileEntry] = {}
-        schemas: dict[int, T.StructType] = {}
-        schema_id = 0
-        schema: T.StructType | None = None
-        table_meta: dict[str, Any] = {}
-        props: dict[str, Any] = {}
-        for cv in vs:
-            if cv > v:
-                break
+        # incremental build: extend the highest cached snapshot below v with
+        # only the missing commit docs. The streaming merge path takes a new
+        # snapshot every trigger, so the from-scratch replay would be
+        # O(commits x files) per batch — quadratic over a long-running
+        # ingest — while this is O(new commits + live files) driver time.
+        base = max((bv for bv in self._snap_cache if bv < v), default=None)
+        if base is not None:
+            prev = self._snap_cache[base]
+            files: dict[str, FileEntry] = dict(prev.files)
+            schemas: dict[int, T.StructType] = dict(prev.schemas)
+            schema_id = prev.schema_id
+            schema: T.StructType | None = prev.schema
+            table_meta: dict[str, Any] = prev.table_meta
+            props: dict[str, Any] = prev.properties
+            todo = [cv for cv in vs if base < cv <= v]
+        else:
+            files = {}
+            schemas = {}
+            schema_id = 0
+            schema = None
+            table_meta = {}
+            props = {}
+            todo = [cv for cv in vs if cv <= v]
+        for cv in todo:
             doc = self._read_doc(cv)
             schema = T.StructType.fromJson(doc["schema"])
             schema_id = doc["schema_id"]
@@ -282,7 +302,13 @@ class LakeTable:
                 files[e.path] = e
         snap = Snapshot(v, schema_id, schema, schemas, files, table_meta, props)
         self._snap_cache[v] = snap
+        # bound driver memory on long ingests: keep the newest snapshots only
+        # (older versions rebuild from scratch on the rare time-travel read)
+        while len(self._snap_cache) > self.SNAP_CACHE_MAX:
+            del self._snap_cache[min(self._snap_cache)]
         return snap
+
+    SNAP_CACHE_MAX = 8
 
     def _read_doc(self, version: int) -> dict[str, Any]:
         """Commit log docs are immutable once written — cache them so the
@@ -301,14 +327,24 @@ class LakeTable:
         return out
 
     def last_txn(self, app_id: str) -> int | None:
-        """Highest txn_batch committed for app_id — the exactly-once fence."""
-        best: int | None = None
-        for h in self.history():
-            p = h.get("properties", {})
-            if p.get("txn_app") == app_id and p.get("txn_batch") is not None:
+        """Highest txn_batch committed for app_id — the exactly-once fence.
+
+        Incremental: only commit docs newer than the last scan are read, so
+        the per-trigger fence check is O(new commits) instead of O(log size)
+        — the full-history rescan was a per-batch driver-serial cost that
+        grew linearly with ingest age. Correct under concurrent writers
+        because commit docs are immutable and versions are monotonic."""
+        for cv in self._commit_versions():
+            if cv <= self._txn_hwm:
+                continue
+            p = self._read_doc(cv).get("properties", {})
+            app = p.get("txn_app")
+            if app is not None and p.get("txn_batch") is not None:
                 b = int(p["txn_batch"])
-                best = b if best is None or b > best else best
-        return best
+                cur = self._txn_best.get(app)
+                self._txn_best[app] = b if cur is None or b > cur else cur
+            self._txn_hwm = cv
+        return self._txn_best.get(app_id)
 
     # --------------------------------------------------------------- buckets
 
@@ -327,9 +363,18 @@ class LakeTable:
         (the reference tolerates NULL-keyed legacy rows and repairs them in
         MERGE, loader.py:517-519).
         """
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in (key_cols or self.key_cols)]
-        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+        kc = tuple(key_cols or self.key_cols)
+        expr = self._bucket_expr_cache.get(kc)
+        if expr is None:
+            # Column templates are unresolved expressions — safe to reuse
+            # across micro-batches; rebuilding them is ~10 py4j round trips
+            # of per-trigger driver-serial time
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in kc]
+            expr = F.pmod(F.xxhash64(*cols),
+                          F.lit(self.num_buckets)).cast("int")
+            self._bucket_expr_cache[kc] = expr
+        return expr
 
     # ----------------------------------------------------------------- reads
 
@@ -833,19 +878,48 @@ def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
     return a if ra >= rb else b
 
 
+def session_expr_cache(spark: SparkSession) -> dict:
+    """Per-session cache of reusable Column expression templates.
+
+    Column objects are unresolved expression trees bound only to the JVM
+    gateway, not to any DataFrame — rebuilding the same projection lists on
+    every micro-batch costs hundreds of py4j round trips of driver-serial
+    time per trigger. Stored ON the session object so templates die with the
+    session (a Column from a stopped SparkContext must never be reused)."""
+    c = getattr(spark, "_graft_expr_cache", None)
+    if c is None:
+        c = {}
+        try:
+            spark._graft_expr_cache = c
+        except Exception:  # unattachable session proxy: degrade to no cache
+            pass
+    return c
+
+
 def _conform(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project df onto target schema: missing columns -> NULL (reference
     NULL-padding, gcs/loader.py:307-324), present columns cast to target type
     (widening), extras dropped (gcs/loader.py:329-345)."""
-    cols = []
     have = {f.name: f for f in df.schema.fields}
-    for f in target.fields:
-        if f.name in have:
-            src = have[f.name]
-            if src.dataType == f.dataType:
-                cols.append(F.col(f.name))
+    if all(f.name in have and have[f.name].dataType == f.dataType
+           for f in target.fields) and len(have) == len(target.fields) \
+            and [f.name for f in df.schema.fields] == [f.name for f in target.fields]:
+        return df  # already conformant: skip the no-op projection
+    cache = session_expr_cache(df.sparkSession)
+    key = ("conform",
+           tuple((f.name, f.dataType) for f in df.schema.fields),
+           tuple((f.name, f.dataType) for f in target.fields))
+    cols = cache.get(key)
+    if cols is None:
+        cols = []
+        for f in target.fields:
+            if f.name in have:
+                src = have[f.name]
+                if src.dataType == f.dataType:
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cache[key] = cols
     return df.select(*cols)

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's per-API-call user-stack capture (error-message call
+        # sites) walks the Python stack on EVERY Column/DataFrame op — pure
+        # driver-serial overhead (~30 ms per merge trigger measured); the
+        # errors still carry the JVM-side context without it
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # env-provided overrides, e.g. executor sizing for standalone-cluster
     # benches: SPARK_EXTRA_CONF="spark.executor.cores=4;spark.cores.max=16"
