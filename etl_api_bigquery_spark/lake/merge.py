@@ -299,8 +299,14 @@ def merge_backfill(
     When ``join_keys`` equal the table's bucket keys (the default), only the
     buckets containing source keys are read and rewritten — the manifest
     prunes the rest, same as the CDC MERGE path. Foreign-key backfills
-    (reference: products matched on bill_id) pass explicit ``join_keys`` and
-    pay a full rewrite."""
+    (reference: products matched on bill_id) pass explicit ``join_keys``;
+    they can't prune by bucket hash (the FK doesn't determine the bucket),
+    so they prune on the footer min/max stats of the FK columns instead —
+    a bucket none of whose files' FK ranges intersect the source's FK range
+    cannot contain a matching row and rides through untouched. Pruning is
+    bucket-granular (not per-file) for the same MOR-delta-resolution reason
+    as :meth:`LakeTable.delete_where`."""
+    from .table import MIXED_BUCKET
     keys = join_keys or table.key_cols
     snap = table.snapshot()
     if keys == table.key_cols:
@@ -308,11 +314,29 @@ def merge_backfill(
               .distinct().collect())
         buckets: list[int] | None = sorted(int(r.b) for r in kb)
         victims = snap.files_for_buckets(buckets)
-        from .table import MIXED_BUCKET
         if any(e.bucket == MIXED_BUCKET for e in victims):
             buckets, victims = None, list(snap.files.values())
     else:
         buckets, victims = None, list(snap.files.values())
+        # FK-range stats pruning: one tiny agg over the (already small)
+        # backfill source gives [min, max] per FK column; files are kept
+        # only if every FK column's footer range intersects it
+        bounds = source.agg(*[f(k) for k in keys
+                              for f in (F.min, F.max)]).first()
+        # min/max ignore NULLs, so an all-NULL (or empty) FK column means no
+        # source row can equi-join anything: the whole backfill is a no-op.
+        if bounds is None or any(bounds[2 * i] is None
+                                 for i in range(len(keys))):
+            return snap.version
+        preds = []
+        for i, k in enumerate(keys):
+            preds += [(k, ">=", bounds[2 * i]), (k, "<=", bounds[2 * i + 1])]
+        may = table.prune_files(victims, preds)
+        if not may:
+            return snap.version          # no file can match: no-op
+        if not any(e.bucket == MIXED_BUCKET for e in may):
+            buckets = sorted({e.bucket for e in may})
+            victims = snap.files_for_buckets(buckets)
     target = table.read(buckets=buckets, with_bucket=True)
     filled = backfill_columns(target, source, keys, set_cols, order_col)
     props = dict(properties or {})

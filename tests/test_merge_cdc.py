@@ -245,6 +245,62 @@ def test_merge_backfill_only_null_targets(spark, tmp_table_dir):
     assert t.read().filter("repo LIKE 'spread%'").count() == 40
 
 
+def test_merge_backfill_fk_pruned(spark, tmp_table_dir):
+    """FK backfill (join_keys != bucket keys) prunes on footer min/max stats
+    of the FK columns: buckets none of whose files' FK ranges intersect the
+    source's range ride through untouched instead of a full-table rewrite."""
+    from etl_api_bigquery_spark.lake.merge import merge_backfill
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("fk", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmp_table_dir, "fkp"), schema,
+                         key_cols=["k"], num_buckets=4)
+    # Make FK ranges bucket-disjoint (fk = bucket*1000 + i) so the footer
+    # stats CAN discriminate — the mechanism under test, not a data accident.
+    base = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("i"))
+    df = base.select(
+        "k",
+        (t.bucket_expr(["k"]) * 1000 + F.col("i")).alias("fk"),
+        F.lit(None).cast("string").alias("v"))
+    t.append(df)
+    before = dict(t.snapshot().files)
+    hit = [r.fk for r in t.read()
+           .filter((F.col("fk") >= 2000) & (F.col("fk") < 3000))
+           .limit(3).collect()]
+    assert hit, "test setup: bucket 2 must hold rows"
+    src = spark.createDataFrame([(fk, "filled", 1) for fk in hit],
+                                ["fk", "v", "ord"])
+    ver = merge_backfill(t, src, set_cols=["v"], order_col="ord",
+                         join_keys=["fk"])
+    doc = t._read_doc(ver)
+    removed = set(doc["removes"])
+    assert 0 < len(removed) < len(before)          # partial rewrite
+    assert doc["properties"]["backfill"]["buckets"] != "all"
+    untouched = set(before) - removed
+    assert untouched <= set(t.snapshot().files)    # pruned files survive
+    got = {r.fk: r.v for r in t.read().collect()}
+    for fk in hit:
+        assert got[fk] == "filled"
+    assert sum(v is not None for v in got.values()) == len(hit)
+    # source FK range outside every file's stats -> no-op fast path
+    v0 = t.snapshot().version
+    far = spark.createDataFrame([(999999, "x", 1)], ["fk", "v", "ord"])
+    assert merge_backfill(t, far, set_cols=["v"], order_col="ord",
+                          join_keys=["fk"]) == v0
+    # all-NULL FK source joins nothing -> no-op (no crash on None bounds)
+    nul = spark.createDataFrame([(None, "x", 1)],
+                                T.StructType([
+                                    T.StructField("fk", T.LongType()),
+                                    T.StructField("v", T.StringType()),
+                                    T.StructField("ord", T.LongType())]))
+    assert merge_backfill(t, nul, set_cols=["v"], order_col="ord",
+                          join_keys=["fk"]) == v0
+
+
 def test_runner_max_bytes_per_trigger(spark, tmp_table_dir):
     """S3 throttle: byte-bounded triggers split the backlog into more,
     smaller micro-batches than the file-count bound alone."""
