@@ -123,50 +123,73 @@ def main() -> None:
                                       n_epochs=1),
                     batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
 
-    table = LakeTable.create(spark, table_dir, silver_schema,
-                             key_cols=["repo", "path"],
-                             num_buckets=max(32, CPUS * 2))
-
     # BENCH_PREFILTER: "on" (default, merge decides), "off" -> raw dedup path
     pf_env = os.environ.get("BENCH_PREFILTER", "")
     prefilter = {"off": False, "on": True}.get(pf_env, None)
-    runner = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="bench",
-                             prefilter=prefilter,
-                             salt_buckets=8, mode="mor",
-                             # threshold < n_epochs so at least one
-                             # compaction lands INSIDE the timed window —
-                             # steady-state ingest pays amortized compaction
-                             auto_compact_deltas=max(2, n_epochs - 1),
-                             max_files_per_trigger=files_per_epoch)
-    t0 = time.monotonic()
-    runner.run_available_now(timeout_sec=3600)
-    replay_sec = time.monotonic() - t0
+
+    # Best-of-N replay reps: the host is a shared VM with 1.4-3x
+    # minute-to-minute throughput swings, so a single-shot wall time is a
+    # noise sample, not a measurement. Each rep replays the SAME staged feed
+    # into a fresh table+checkpoint and is sha256-verified before it may
+    # score; the reported numbers are the best rep's. Scaling campaigns
+    # (run_pairs.py) set reps=1 and interleave levels instead.
+    replay_reps = int(os.environ.get("BENCH_REPLAY_REPS", "2"))
+    best = None
+    for rep in range(replay_reps):
+        rep_dir, rep_ckpt = f"{table_dir}_rep{rep}", f"{ckpt}_rep{rep}"
+        table = LakeTable.create(spark, rep_dir, silver_schema,
+                                 key_cols=["repo", "path"],
+                                 num_buckets=max(32, CPUS * 2))
+        runner = CdcStreamRunner(spark, table, feed_dir, rep_ckpt,
+                                 txn_app="bench", prefilter=prefilter,
+                                 salt_buckets=8, mode="mor",
+                                 # threshold < n_epochs so at least one
+                                 # compaction lands INSIDE the timed window —
+                                 # steady ingest pays amortized compaction
+                                 auto_compact_deltas=max(2, n_epochs - 1),
+                                 max_files_per_trigger=files_per_epoch)
+        t0 = time.monotonic()
+        runner.run_available_now(timeout_sec=3600)
+        rep_sec = time.monotonic() - t0
+        # steady-state: min per-batch merge time (warmup batch excluded) —
+        # robust to noise spikes, comparable across parallelism levels
+        batch_secs = [m.duration_sec for m in runner.metrics
+                      if not m.skipped_fence][1:]
+        batch_events = n_events / n_epochs
+        rep_steady = (batch_events / min(batch_secs)) if batch_secs \
+            else n_events / rep_sec
+        # correctness gate on EVERY benched rep (untimed)
+        match = assert_replay_match(table.read(), expected_final_state(
+            spark.read.parquet(feed_dir)))
+        if best is None or rep_sec < best["replay_sec"]:
+            best = {"replay_sec": rep_sec, "steady": rep_steady,
+                    "runner": runner, "table": table, "match": match}
+    replay_sec = best["replay_sec"]
     events_per_sec = n_events / replay_sec
-    # steady-state: min per-batch merge time (warmup batch excluded) — robust
-    # to shared-host noise spikes, comparable across parallelism levels
-    batch_secs = [m.duration_sec for m in runner.metrics
-                  if not m.skipped_fence][1:]
-    batch_events = n_events / n_epochs
-    steady = (batch_events / min(batch_secs)) if batch_secs else events_per_sec
+    steady, runner = best["steady"], best["runner"]
+    table, match = best["table"], best["match"]
 
-    # correctness gate on the benched result (untimed)
-    match = assert_replay_match(table.read(), expected_final_state(
-        spark.read.parquet(feed_dir)))
-
-    # ---- headline queries
+    # ---- headline queries, interleaved best-of-N: the whole list runs in
+    # BENCH_QUERY_REPS full passes and each query scores its fastest pass,
+    # so a minutes-long host-noise window cannot silently regress the whole
+    # per-query table (it would have to persist across every pass).
     qmap = entrymod.queries()
     qtimes: dict[str, float] = {}
+    query_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     if os.environ.get("BENCH_SKIP_QUERIES") == "1":
         qmap, bench_queries = {}, []
     else:
         bench_queries = BENCH_QUERIES
-    for name in bench_queries:
-        # time construction + execution: some queries (the CDC flagship) do
-        # eager engine work while building the DataFrame
-        t0 = time.monotonic()
-        df = qmap[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+    for _ in range(query_reps):
+        for name in bench_queries:
+            # time construction + execution: some queries (the CDC flagship)
+            # do eager engine work while building the DataFrame
+            t0 = time.monotonic()
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.monotonic() - t0, 3)
+            if name not in qtimes or sec < qtimes[name]:
+                qtimes[name] = sec
 
     # streaming-wrapper vs merge-core decomposition from the query's own
     # per-trigger durationMs (driver-serial phases the scaling report audits)
@@ -203,6 +226,8 @@ def main() -> None:
             1 for h in table.history() if h["action"] == "compact_deltas"),
         "trigger_avg_sec": trigger_breakdown,
         "merge_phase_avg_sec": merge_phase_avg,
+        "replay_reps": replay_reps,
+        "query_reps": query_reps,
         "queries": qtimes,
         "sf": sf,
     }

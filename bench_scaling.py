@@ -56,7 +56,8 @@ def run_level(cpus: int) -> dict:
                BENCH_EPOCHS=os.environ.get("BENCH_EPOCHS", "3"),
                BENCH_FILES_PER_EPOCH=os.environ.get("BENCH_FILES_PER_EPOCH", "32"),
                SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "12g"),
-               BENCH_SKIP_QUERIES="1")
+               BENCH_SKIP_QUERIES="1",
+               BENCH_REPLAY_REPS="1")   # noise control = interleaved pairs
     cmd = ["taskset", "-c", f"0-{cpus - 1}",
            sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -105,6 +106,9 @@ def main() -> None:
          / runs[lo][i]["events_per_sec_steady"]) / factor
         for i in range(min(len(runs[lo]), len(runs[hi])))
     ]
+    # The MEDIAN pair is the metric of record: max over noisy ratios is an
+    # upward-biased estimator (the same selection effect as best-of-level),
+    # so the best pair is reported only as the quiet-substrate upper bound.
     eff_paired_best = max(pair_effs)
     eff_paired_median = sorted(pair_effs)[len(pair_effs) // 2]
     eff_steady = (best[hi]["events_per_sec_steady"]
@@ -140,18 +144,20 @@ def main() -> None:
     lines += [
         "",
         f"**Scaling efficiency local[{lo}] → local[{hi}] (factor "
-        f"{factor:.0f}×): best interleaved PAIR {eff_paired_best:.3f} "
-        f"(median pair {eff_paired_median:.3f}; per-pair "
+        f"{factor:.0f}×): MEDIAN interleaved pair {eff_paired_median:.3f} "
+        f"(best pair {eff_paired_best:.3f}; per-pair "
         f"{[round(e, 3) for e in pair_effs]}); cross-paired best-of-level "
         f"steady {eff_steady:.3f}, whole-run {eff_total:.3f}** "
         "(target ≥ 0.8 per BASELINE.json).",
         "",
-        "The paired number is the metric of record: both levels of a pair "
-        "run back-to-back, so the host VM's minute-scale throughput swings "
-        "(1.4-3x observed on identical runs) hit both levels of the ratio "
-        "and cancel; cross-pairing one level's lucky minute against the "
-        "other's slow one (best-of-level) carries the full noise amplitude "
-        "into the ratio in either direction.",
+        "The MEDIAN paired number is the metric of record: both levels of "
+        "a pair run back-to-back, so the host VM's minute-scale throughput "
+        "swings (1.4-3x observed on identical runs) hit both levels of the "
+        "ratio and largely cancel, and the median over pairs avoids the "
+        "upward bias of taking a max over noisy ratios. The best pair is "
+        "reported as the quiet-substrate upper bound only; cross-paired "
+        "best-of-level carries the full noise amplitude and is shown for "
+        "continuity.",
         "",
     ]
 
@@ -229,8 +235,8 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({"efficiency_paired_best": round(eff_paired_best, 3),
-                      "efficiency_paired_median": round(eff_paired_median, 3),
+    print(json.dumps({"efficiency_paired_median": round(eff_paired_median, 3),
+                      "efficiency_paired_best": round(eff_paired_best, 3),
                       "efficiency_steady": round(eff_steady, 3),
                       "efficiency_total": round(eff_total, 3),
                       "pair_effs": [round(e, 3) for e in pair_effs],
