@@ -1,52 +1,50 @@
 #!/usr/bin/env python
-"""Regenerate BENCH/BASELINE.md from the day's FULL set of interleaved
-N-vs-4N pairs (BENCH/pairs_log.jsonl) plus the latest task-time
-decomposition and per-trigger driver-phase audit.
+"""Regenerate BENCH/BASELINE.md from the accumulated interleaved N-vs-4N
+pairs (BENCH/pairs_log.jsonl), the latest task-time decomposition
+(BENCH/tasktime_{4,16}.json, written by scripts/analyze_tasktime.py), and
+the driver-phase telemetry carried inside the current pairs themselves.
 
-Why a merged report instead of one campaign's output: the sandbox host is a
-shared VM whose effective CPU/memory bandwidth swings 1.4-3x on minute
-scales, and the 16-core level is hit ~linearly harder by co-tenant bandwidth
-pressure than the 4-core level. A single 3-4-pair campaign therefore samples
-ONE host-condition regime; the honest estimate of the engine's scaling is
-the distribution over every interleaved pair measured, with the best pair
-showing what the engine does when the substrate is quiet.
+Metric of record: the MEDIAN pair efficiency of the CURRENT engine
+generation (sessions tagged r3*). Earlier pairs measured the engine before
+the per-trigger driver-serial cut (commit 8b1059b) and are reported as
+history — averaging across engine versions would blend two different
+systems into one number. Max over noisy ratios is upward-biased, so the
+best pair is reported only as the quiet-substrate upper bound.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "pairs_log.jsonl")
+CURRENT_PREFIX = "r3"
 
-# task-time decomposition, campaign_D (scripts/analyze_tasktime.py at both
-# levels, steady-state batches only, 12M-event batches)
-TASKTIME = {
-    4: {"wall": 13.60, "task_s": 153.6, "util": 0.84, "gc": 3.2, "shuf": 802},
-    16: {"wall": 5.13, "task_s": 177.7, "util": 0.66, "gc": 8.0, "shuf": 802},
-}
-# per-trigger driver-phase audit (bench.py trigger_avg_sec, 16 pinned cores,
-# 12M-event batches) — everything OUTSIDE the distributed addBatch work
-WRAPPER_16C = {"getBatch": 0.195, "latestOffset": 0.046,
-               "queryPlanning": 0.027, "walCommit": 0.039,
-               "commitOffsets": 0.068}
-PLAN_BUILD_16C = 0.30     # scripts/probe_phases.py steady plan_build_s
-HARVEST_COMMIT_16C = 0.35  # threaded footer harvest (64 files) + log fsync
+
+def eff(p: dict) -> float:
+    return (p["steady_16"] / p["steady_4"]) / 4
+
+
+def load_tasktime(cpus: int) -> dict | None:
+    path = os.path.join(REPO, "BENCH", f"tasktime_{cpus}.json")
+    if os.path.exists(path):
+        return json.load(open(path))
+    return None
 
 
 def main() -> None:
     pairs = [json.loads(ln) for ln in open(LOG) if ln.strip()]
-    effs = [(p["steady_16"] / p["steady_4"]) / 4 for p in pairs]
-    best_i = max(range(len(pairs)), key=lambda i: effs[i])
-    med = sorted(effs)[len(effs) // 2]
-    best4 = max(p["steady_4"] for p in pairs)
-    best16 = max(p["steady_16"] for p in pairs)
-    wrapper = sum(WRAPPER_16C.values())
-    driver_total = wrapper + PLAN_BUILD_16C + HARVEST_COMMIT_16C
-    t4, t16 = TASKTIME[4], TASKTIME[16]
-    inflation = t16["task_s"] / t4["task_s"]
+    cur = [p for p in pairs if p["session"].startswith(CURRENT_PREFIX)]
+    hist = [p for p in pairs if not p["session"].startswith(CURRENT_PREFIX)]
+    if not cur:
+        cur, hist = pairs, []
+    cur_effs = sorted(eff(p) for p in cur)
+    med = statistics.median(cur_effs)
+    best_p = max(cur, key=eff)
+    hist_effs = sorted(eff(p) for p in hist)
 
     lines = [
         "# BENCH/BASELINE.md — scaling evidence (N vs 4N parallelism)",
@@ -57,106 +55,141 @@ def main() -> None:
         "Same job, byte-identical staged input (48M events, 12M-event "
         "micro-batches, MOR merge with LWW prefilter, one full compaction "
         "inside every timed window), two machine sizes emulated with CPU "
-        "affinity: `taskset -c 0-3` local[4] vs `taskset -c 0-15` local[16] "
-        "— the sandbox form of BASELINE.json's two-cluster-size rule. "
-        "Affinity confines the WHOLE process tree (JVM task/GC/shuffle/IO "
-        "threads, Python workers) to exactly N cores.",
+        "affinity: `taskset -c 0-3` local[4] vs `taskset -c 0-15` "
+        "local[16] — the sandbox form of BASELINE.json's two-cluster-size "
+        "rule. Affinity confines the WHOLE process tree (JVM task/GC/"
+        "shuffle/IO threads, Python workers) to exactly N cores. Every "
+        "level's result is sha256-verified against the batch replay oracle "
+        "before it may score.",
         "",
-        "**Scoring is by interleaved PAIR**: the two levels of a pair run "
+        "**Scoring: MEDIAN interleaved pair.** The two levels of a pair run "
         "back-to-back, so the shared VM's minute-scale throughput swings "
         "(1.4-3x between identical runs, from co-tenant load) hit both "
-        "levels of the ratio and largely cancel. Every pair measured this "
-        "round is reported — the spread IS the host-noise story, and the "
-        "best pair shows the engine on a quiet substrate:",
+        "levels of the ratio and largely cancel; the median over pairs "
+        "avoids the upward bias of a max over noisy ratios. The best pair "
+        "is the quiet-substrate upper bound only.",
+        "",
+        "## Current engine (round 3: per-trigger driver-serial cut 3x)",
         "",
         "| pair | session | local[4] steady ev/s | local[16] steady ev/s | efficiency |",
         "|---|---|---|---|---|",
     ]
-    for i, p in enumerate(pairs):
-        mark = " **<- best**" if i == best_i else ""
-        lines.append(f"| {i} | {p['session']} | {p['steady_4']:,.0f} "
-                     f"| {p['steady_16']:,.0f} | {effs[i]:.3f}{mark} |")
+    for p in cur:
+        mark = " **<- best**" if p is best_p else ""
+        lines.append(f"| {p['pair']} | {p['session']} | {p['steady_4']:,.0f} "
+                     f"| {p['steady_16']:,.0f} | {eff(p):.3f}{mark} |")
+    verdict = "MEETS" if med >= 0.8 else "does not meet"
     lines += [
         "",
-        f"**Best interleaved pair: {max(effs):.3f}** (local[4] "
-        f"{pairs[best_i]['steady_4']:,.0f} → local[16] "
-        f"{pairs[best_i]['steady_16']:,.0f} ev/s). Median pair "
-        f"{med:.3f} over {len(effs)} pairs. Best absolute per level across "
-        f"the round: {best4:,.0f} ev/s at 4 cores, {best16:,.0f} ev/s at 16 "
-        "(target ≥ 0.8 per BASELINE.json; the best-pair number meets it, "
-        "the median does not — the decomposition below shows why the gap "
-        "is the shared substrate, not the plan).",
+        f"**Median pair efficiency: {med:.3f}** over {len(cur_effs)} pairs "
+        f"({verdict} the ≥ 0.8 target in BASELINE.json's north rule). Best "
+        f"pair {max(cur_effs):.3f}; spread "
+        f"{[round(e, 3) for e in cur_effs]}. Best absolute: "
+        f"{max(p['steady_4'] for p in cur):,.0f} ev/s at 4 cores, "
+        f"{max(p['steady_16'] for p in cur):,.0f} ev/s at 16.",
         "",
-        "## Task-time decomposition (analyze_tasktime.py, steady batches)",
-        "",
-        "| level | steady batch wall s | executor task-seconds | slot utilization | GC s | shuffle MB |",
-        "|---|---|---|---|---|---|",
-        f"| 4 cores | {t4['wall']} | {t4['task_s']} | {t4['util']:.0%} | {t4['gc']} | {t4['shuf']} |",
-        f"| 16 cores | {t16['wall']} | {t16['task_s']} | {t16['util']:.0%} | {t16['gc']} | {t16['shuf']} |",
-        "",
-        "Identical shuffle bytes at both levels confirm identical work. Two "
-        "loss mechanisms:",
-        "",
-        f"1. **Per-task inflation {inflation:.2f}x** (task-seconds for the "
-        "same work, 4 → 16 cores): contention on the host's ONE memory "
-        "subsystem/L3 and heap, which pinning cannot escape (GC seconds "
-        f"grow {t16['gc'] / t4['gc']:.1f}x). This is the factor co-tenant "
-        "load modulates — in quiet windows it approaches 1.0 and measured "
-        "pair efficiency rises to the 0.8+ pairs above; under co-tenant "
-        "bandwidth pressure it is what drags the median down. A real N→4N "
-        "executor scale-out multiplies memory channels, LLCs and heaps "
-        "with the executors, which is exactly the resource being contended "
-        "here.",
-        f"2. **Slot-utilization ratio {t16['util'] / t4['util']:.2f}** "
-        f"({t4['util']:.0%} → {t16['util']:.0%}): constant-wall driver "
-        "phases idle 4x more slot-seconds at the larger size. These phases "
-        "are now measured directly (below) and shrink as 1/batch-size.",
-        "",
-        "## Driver-phase audit (measured, 16 pinned cores, 12M-event batch)",
-        "",
-        "Per-trigger breakdown from StreamingQueryProgress (bench.py "
-        "`trigger_avg_sec`) plus the merge probe (scripts/probe_phases.py):",
-        "",
-        "| driver-serial phase | sec/batch |",
-        "|---|---|",
     ]
-    for k, v in sorted(WRAPPER_16C.items()):
-        lines.append(f"| streaming wrapper: {k} | {v:.3f} |")
+    if hist:
+        lines += [
+            "## Prior engine generations (history)",
+            "",
+            f"{len(hist)} pairs measured before the round-3 driver-serial "
+            f"cut: median {statistics.median(hist_effs):.3f}, best "
+            f"{max(hist_effs):.3f}. The delta to the current median is the "
+            "measured effect of removing ~0.7 s/trigger of constant driver "
+            "work (incremental snapshot/fence, cached expression templates, "
+            "executor-side footer harvest), which idles 4x more slot-"
+            "seconds at the larger level.",
+            "",
+        ]
+
+    # ---- driver-phase audit from the current pairs' own telemetry
+    ph16 = [p.get("phases_16") or {} for p in cur]
+    tr16 = [p.get("trigger_16") or {} for p in cur]
+    ph16 = [d for d in ph16 if d]
+    tr16 = [d for d in tr16 if d]
+    if ph16 and tr16:
+        def avg(dicts, key):
+            vals = [d[key] for d in dicts if key in d]
+            return sum(vals) / len(vals) if vals else 0.0
+        wrapper_keys = sorted({k for d in tr16 for k in d}
+                              - {"addBatch", "triggerExecution"})
+        wrapper = {k: avg(tr16, k) for k in wrapper_keys}
+        plan_b = avg(ph16, "plan_build_s")
+        harvest = avg(ph16, "harvest_s") + avg(ph16, "commit_fsync_s")
+        driver_total = sum(wrapper.values()) + plan_b + harvest
+        add_batch = avg(tr16, "addBatch")
+        lines += [
+            "## Driver-phase audit (measured, 16 pinned cores, averaged "
+            "over the current pairs)",
+            "",
+            "| driver-serial phase | sec/batch |",
+            "|---|---|",
+        ]
+        for k in wrapper_keys:
+            lines.append(f"| streaming wrapper: {k} | {wrapper[k]:.3f} |")
+        lines += [
+            f"| Catalyst plan build + analysis (merge DAG) | {plan_b:.3f} |",
+            f"| parquet footer harvest + commit fsync | {harvest:.3f} |",
+            f"| **total driver-serial** | **{driver_total:.3f}** |",
+            "",
+            f"≈ {driver_total:.2f} s of a {add_batch:.2f} s average batch "
+            f"({driver_total / max(add_batch, 1e-9):.1%}) — "
+            + ("under the 5% bound the round-2 verdict set for the "
+               "driver-serial share, and "
+               if driver_total / max(add_batch, 1e-9) < 0.05 else "")
+            + "all constant-cost phases that shrink as 1/batch-size "
+            "(production batches at 10^10-event scale are 10-100x larger). "
+            "The footer harvest switches to an executor-side job above 192 "
+            "files/commit, so it does not return at larger file counts.",
+            "",
+        ]
+
+    # ---- task-time decomposition from fresh analyze_tasktime runs
+    t4, t16 = load_tasktime(4), load_tasktime(16)
+    if t4 and t16:
+        w4, w16 = min(t4["batch_walls_s"][1:]), min(t16["batch_walls_s"][1:])
+        util4 = t4["task_seconds_total"] / (sum(t4["batch_walls_s"][1:]) * 4)
+        util16 = t16["task_seconds_total"] / (sum(t16["batch_walls_s"][1:]) * 16)
+        inflation = t16["task_seconds_total"] / t4["task_seconds_total"]
+        lines += [
+            "## Task-time decomposition (analyze_tasktime.py, steady "
+            "batches, same campaign config)",
+            "",
+            "| level | steady batch wall s | executor task-seconds | slot utilization | GC s | shuffle MB |",
+            "|---|---|---|---|---|---|",
+            f"| 4 cores | {w4:.2f} | {t4['task_seconds_total']} | "
+            f"{util4:.0%} | {t4['gc_seconds_total']} | "
+            f"{t4['shuffle_read_mb']:.0f} |",
+            f"| 16 cores | {w16:.2f} | {t16['task_seconds_total']} | "
+            f"{util16:.0%} | {t16['gc_seconds_total']} | "
+            f"{t16['shuffle_read_mb']:.0f} |",
+            "",
+            "Identical shuffle bytes at both levels confirm identical "
+            f"work. Task-seconds inflate {inflation:.2f}x at 16 cores: "
+            "contention on the host's ONE memory subsystem/L3 and heap, "
+            "which pinning cannot escape. This is the factor co-tenant "
+            "load modulates — in quiet windows it approaches 1.0 and pair "
+            "efficiency approaches the upper bound. A real N→4N executor "
+            "scale-out multiplies memory channels, LLCs and heaps with the "
+            "executors — exactly the resource contended here.",
+            "",
+        ]
+
     lines += [
-        f"| Catalyst plan build + analysis (merge DAG) | {PLAN_BUILD_16C:.2f} |",
-        f"| parquet footer harvest (64 files, threaded) + commit fsync | {HARVEST_COMMIT_16C:.2f} |",
-        f"| **total driver-serial** | **{driver_total:.2f}** |",
-        "",
-        f"≈ {driver_total:.1f}s of a ~{t16['wall']:.1f}s steady core batch "
-        f"wall ({driver_total / t16['wall']:.0%}) at 12M-event batches — "
-        "all constant-cost phases that fall proportionally as batches grow "
-        "(10^10-event production batches are 10-100x larger). The footer "
-        "harvest additionally switches to an executor-side Spark job above "
-        "192 files/commit (lake/table.py DISTRIBUTED_HARVEST_THRESHOLD), so "
-        "it does not return as a bottleneck at larger file counts.",
-        "",
-        "## Conclusion",
-        "",
-        "The engine-attributable scaling loss is the driver-phase share "
-        f"({driver_total / t16['wall']:.0%} at this batch size, → 0 with "
-        "batch size); the remaining loss is per-task inflation on the "
-        "single shared memory substrate, measured at "
-        f"{inflation:.2f}x under this round's host conditions and ~1.0 in "
-        "quiet windows (the 0.8+ pairs). On hardware where N→4N actually "
-        "multiplies memory channels — the deployment this engine targets — "
-        "the quiet-window pairs are the representative measurement: "
-        f"**{max(effs):.3f} steady scaling efficiency**, meeting the ≥0.8 "
-        "target.",
-        "",
-        "Raw pairs: `BENCH/pairs_log.jsonl`. Protocol: bench_scaling.py "
-        "(interleaved, affinity-pinned, byte-identical staged feed, "
-        "sha256-verified replay before any number is reported).",
+        "Raw pairs: `BENCH/pairs_log.jsonl` (per-pair phase telemetry "
+        "included). Protocol: scripts/run_pairs.py (interleaved, affinity-"
+        "pinned, byte-identical staged feed, sha256-verified replay before "
+        "any number is reported); report regenerated by "
+        "scripts/report_scaling.py.",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({"pairs": len(effs), "best": round(max(effs), 3),
-                      "median": round(med, 3), "written": path}))
+    print(json.dumps({"pairs_current": len(cur_effs),
+                      "median": round(med, 3),
+                      "best": round(max(cur_effs), 3),
+                      "written": path}))
 
 
 if __name__ == "__main__":
