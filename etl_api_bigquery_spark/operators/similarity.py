@@ -25,6 +25,8 @@ the training-data-pipeline surface. Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,32 +174,9 @@ def near_dup_pairs(
     if method == "brute":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        if dim is None:
-            dim = len(emb.select(vec_col).first()[0])
-        chunk = bits // bands
-        if chunk < 2:
-            raise ValueError(
-                f"degenerate LSH banding: bits={bits}, bands={bands} gives "
-                f"chunk={chunk} (<2 bits/band -> <=2 buckets/band, candidate "
-                f"volume ~bands*n^2). Use bits >= 2*bands, e.g. bits=128 "
-                f"bands=8, or method='brute' for low thresholds.")
-        sig = _hyperplane_sig(F.col(vec_col).cast("array<double>"), bits, dim,
-                              seed)
-        banded = emb.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_vec"),
-            F.posexplode(F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bd: F.substring(sig, bd * chunk + 1, chunk),
-            )).alias("_band", "_chunk"))
-        ba = banded.select(F.col("_id").alias("id_a"),
-                           F.col("_vec").alias("va"), "_band", "_chunk")
-        bb = banded.select(F.col("_id").alias("id_b"),
-                           F.col("_vec").alias("vb"), "_band", "_chunk")
-        pairs = (ba.join(bb, on=["_band", "_chunk"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .dropDuplicates(["id_a", "id_b"])
-                 .select("id_a", "va", "id_b", "vb"))
+        pairs = near_dup_candidates(emb, id_col=id_col, vec_col=vec_col,
+                                    bits=bits, bands=bands, dim=dim,
+                                    seed=seed)
     else:
         raise ValueError(f"unknown method {method!r}")
     return (pairs
@@ -206,34 +185,97 @@ def near_dup_pairs(
             .select("id_a", "id_b", F.round("cos", 4).alias("cos_r")))
 
 
-def _plane_component(b: int, seed: int):
-    """One-arg transform lambda for plane ``b``'s j-th component. Built via a
-    factory, NOT a ``lambda j, b=b:`` default-arg closure — a two-parameter
-    callable is bound by PySpark's higher-order-function layer as the
-    (element, index) form, which silently replaced the plane index with the
-    array position and made every hyperplane identical (round-1 latent bug:
-    all signatures collapsed to two buckets)."""
-    def fn(j):
-        return (F.pmod(F.xxhash64(F.lit(b), j, F.lit(seed)),
-                       F.lit(1000)) / 1000.0) - 0.5
-    return fn
+def near_dup_candidates(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 128, bands: int = 8, dim: int | None = None, seed: int = 42,
+) -> DataFrame:
+    """The LSH blocking stage of :func:`near_dup_pairs`, exposed so callers
+    (and the bench) can COUNT the pre-verify candidate set directly — the
+    sub-quadratic claim (≈ bands · n²/2^chunk candidates, not n²/2) is then
+    a measured number, not an asymptotic argument. Returns
+    ``(id_a, va, id_b, vb)`` distinct unordered pairs sharing ≥1 band."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    chunk = bits // bands
+    if chunk < 2:
+        raise ValueError(
+            f"degenerate LSH banding: bits={bits}, bands={bands} gives "
+            f"chunk={chunk} (<2 bits/band -> <=2 buckets/band, candidate "
+            f"volume ~bands*n^2). Use bits >= 2*bands, e.g. bits=128 "
+            f"bands=8, or method='brute' for low thresholds.")
+    sig_udf = _hyperplane_sig_udf(emb.sparkSession, bits, dim, seed)
+    # the UDF column must be materialized in its own projection: Spark
+    # forbids Python UDFs inside higher-order-function lambdas
+    sigd = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"))
+    banded = sigd.select(
+        "_id", "_vec",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bd: F.substring(F.col("_sig"), bd * chunk + 1, chunk),
+        )).alias("_band", "_chunk"))
+    ba = banded.select(F.col("_id").alias("id_a"),
+                       F.col("_vec").alias("va"), "_band", "_chunk")
+    bb = banded.select(F.col("_id").alias("id_b"),
+                       F.col("_vec").alias("vb"), "_band", "_chunk")
+    return (ba.join(bb, on=["_band", "_chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "va", "id_b", "vb"))
 
 
-def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int) -> Column:
-    """Sign signature against ``bits`` pseudo-random hyperplanes. Plane (b, j)
-    component = centered hash in [-0.5, 0.5) — deterministic, no RNG state."""
-    def plane_dot(b):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            _plane_component(b, seed)),
-                lambda x, p: x * p),
-            F.lit(0.0), lambda acc, v: acc + v)
-    return F.concat_ws("", *[
-        F.when(plane_dot(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(bits)
-    ])
+#: plane matrices cached per (bits, dim, seed) for the life of the process —
+#: the values are deterministic, so the cache never goes stale.
+_PLANES_CACHE: dict[tuple[int, int, int], list] = {}
+
+
+def _plane_matrix(spark, bits: int, dim: int, seed: int) -> list:
+    """The ``bits × dim`` hyperplane matrix: component (b, j) =
+    ``pmod(xxhash64(b, j, seed), 1000)/1000 - 0.5`` — centered hash in
+    [-0.5, 0.5), deterministic, no RNG state. Evaluated ONCE per process via
+    a 1-row Spark job (so the values are Spark's own xxhash64, bit-exact
+    with what an in-plan evaluation would produce) and embedded downstream
+    as array literals. Building the signature from per-row hash expressions
+    instead (the previous form) made the expression tree O(bits·dim) ≈ 50k
+    nodes — tens of seconds of Catalyst compile per query — and recomputed
+    all bits·dim hashes for every input row; as constants the tree is
+    O(bits) and the per-row work is just the dot products."""
+    key = (bits, dim, seed)
+    if key not in _PLANES_CACHE:
+        # ONE sql() round trip — composing the same matrix from pyspark
+        # Column objects costs ~6 py4j round trips per component (≈50k for
+        # 128×64 ≈ tens of seconds of driver-serial time)
+        _PLANES_CACHE[key] = spark.sql(
+            f"SELECT transform(sequence(0, {bits - 1}), b -> "
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"pmod(xxhash64(b, j, {seed}), 1000) / 1000 - 0.5)) AS p"
+        ).first()["p"]
+    return _PLANES_CACHE[key]
+
+
+def _hyperplane_sig_udf(spark, bits: int, dim: int, seed: int):
+    """Arrow-vectorized signature kernel: one numpy matmul per batch against
+    the constant plane matrix. This is the documented columnar-UDF exception:
+    expressing ``bits`` plane dot products as Catalyst HOF expressions makes
+    an O(bits·dim) tree (built per component over py4j, folded repeatedly by
+    the optimizer, interpreted per element at runtime) — measured at tens of
+    seconds of driver-serial compile for 128×64 — while the batch matmul is
+    a single BLAS call with a 64 KB closure. Sign rule (``>= 0 → '1'``) and
+    plane values match :func:`_plane_matrix` exactly."""
+    planes_t = np.array(_plane_matrix(spark, bits, dim, seed),
+                        dtype="float64").T  # dim × bits
+
+    @F.pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(x, dtype="float64") for x in v])
+        codes = ((m @ planes_t >= 0).astype(np.uint8) + 48).astype(np.uint8)
+        return pd.Series([bytes(row).decode("ascii") for row in codes])
+
+    return sig
 
 
 def lsh_topk(
@@ -252,14 +294,18 @@ def lsh_topk(
         dim = len(corpus.select(vec_col).first()[0])
     chunk = bits // bands
 
+    sig_udf = _hyperplane_sig_udf(corpus.sparkSession, bits, dim, seed)
+
     def banded(df, prefix):
         v = F.col(vec_col).cast("array<double>")
-        sig = _hyperplane_sig(v, bits, dim, seed)
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_vec"),
+        # UDF materialized in its own projection (not legal inside the HOF)
+        sigd = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                         v.alias(f"{prefix}_vec"), sig_udf(v).alias("_sig"))
+        return sigd.select(
+            f"{prefix}_id", f"{prefix}_vec",
             F.posexplode(F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.substring(sig, b * chunk + 1, chunk),
+                lambda b: F.substring(F.col("_sig"), b * chunk + 1, chunk),
             )).alias("_band", "_chunk"))
 
     cb, qb = banded(corpus, "n"), banded(queries, "q")

@@ -152,20 +152,20 @@ def test_quality_report_and_dup_keys(spark):
 
 
 def test_hyperplanes_are_distinct(spark):
-    """Regression: a two-arg default-closure lambda in F.transform binds the
-    closed-over var to the ARRAY INDEX (PySpark's (element, index) form),
-    which made every hyperplane identical and collapsed all signatures into
-    two buckets. Planes must be pairwise non-identical."""
-    from etl_api_bigquery_spark.operators.similarity import _plane_component
-    df = spark.range(1)
-    planes = [
-        df.select(F.transform(F.sequence(F.lit(0), F.lit(15)),
-                              _plane_component(b, 42)).alias("p")).first()[0]
-        for b in range(4)
-    ]
+    """Regression: round-1's in-plan hash expressions collapsed every
+    hyperplane into the same vector (two buckets total). The plane matrix —
+    now evaluated once and embedded as literals — must stay pairwise
+    non-identical AND bit-exact with Spark's own xxhash64 formula."""
+    from etl_api_bigquery_spark.operators.similarity import _plane_matrix
+    planes = _plane_matrix(spark, bits=4, dim=16, seed=42)
     for i in range(4):
         for k in range(i + 1, 4):
             assert planes[i] != planes[k], f"plane {i} == plane {k}"
+    # component (b=0, j=0) recomputed independently in-plan
+    want = spark.range(1).select(
+        (F.pmod(F.xxhash64(F.lit(0), F.lit(0), F.lit(42)),
+                F.lit(1000)) / 1000.0 - 0.5).alias("c")).first()["c"]
+    assert planes[0][0] == want
 
 
 def test_minhash_functions_are_distinct(spark):
@@ -228,6 +228,27 @@ def test_near_dup_pairs_lsh_equals_brute(spark):
            near_dup_pairs(corpus, threshold=0.99, method="lsh",
                           bits=128, bands=8, dim=64).collect()}
     assert brute == lsh and len(brute) == 50
+
+
+def test_near_dup_candidates_subquadratic(spark):
+    """The exposed blocking stage must emit far fewer pre-verify candidates
+    than all-pairs on an uncorrelated corpus — the measured form of the
+    bands·n²/2^chunk claim (chunk=16 ⇒ 65536 buckets/band), and the number
+    bench.py records as `lsh_blocking`."""
+    from pyspark.sql import functions as F
+    from etl_api_bigquery_spark.operators.similarity import (
+        near_dup_candidates)
+    emb = (spark.read.parquet(SF + "/embeddings.parquet")
+           .filter("vec_id < 200").select("vec_id", "embedding"))
+    planted = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    n = corpus.count()
+    n_cand = near_dup_candidates(corpus, bits=128, bands=8, dim=64).count()
+    allpairs = n * (n - 1) // 2
+    # 50 planted duplicate pairs MUST collide (identical signatures); random
+    # collisions add a few more — but nothing near the quadratic 31k
+    assert 50 <= n_cand < allpairs * 0.05, (n_cand, allpairs)
 
 
 def test_near_dup_pairs_rejects_degenerate_chunks(spark):
