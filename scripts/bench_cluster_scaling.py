@@ -107,6 +107,14 @@ def main() -> None:
 
     best = {n: max(runs[n], key=lambda r: r["events_per_sec_steady"])
             for n in (4, 16)}
+    # metric of record: MEDIAN of per-rep interleaved pairs (common-mode
+    # host noise cancels in each ratio; max-of-level is kept only as the
+    # quiet-substrate upper bound — same scoring as BENCH/BASELINE.md)
+    pair_effs = sorted(
+        (r16["events_per_sec_steady"] / r4["events_per_sec_steady"]) / 4
+        for r4, r16 in zip(runs[4], runs[16]))
+    import statistics
+    eff_median = statistics.median(pair_effs)
     eff_steady = (best[16]["events_per_sec_steady"]
                   / best[4]["events_per_sec_steady"]) / 4
     eff_total = (best[16]["events_per_sec"] / best[4]["events_per_sec"]) / 4
@@ -133,9 +141,11 @@ def main() -> None:
                      f"| {r['events_per_sec']} | {r['events_per_sec_steady']} |")
     lines += [
         "",
-        f"**Executor scaling efficiency 1 → 4 executors: steady "
-        f"{eff_steady:.3f}, whole-run {eff_total:.3f}** (BASELINE.json "
-        "target ≥ 0.8).",
+        f"**Executor scaling efficiency 1 → 4 executors: median "
+        f"interleaved pair {eff_median:.3f}** (pairs "
+        f"{[round(e, 3) for e in pair_effs]}); best-of-level steady "
+        f"{eff_steady:.3f} (quiet-substrate upper bound), whole-run "
+        f"{eff_total:.3f} (BASELINE.json target ≥ 0.8).",
         "",
         "The metric of record is the steady (sustained) number — "
         "BASELINE.json's criterion is \"sustained MERGE-apply throughput\" — "
