@@ -89,6 +89,12 @@ def main() -> None:
     # byte-identical staging at both parallelism levels
     files_per_epoch = int(os.environ.get("BENCH_FILES_PER_EPOCH", 0)) \
         or max(4, CPUS // 2)
+    # bucket count = write/compact task granularity (one task per bucket).
+    # Scaling campaigns pin it identically at both levels so the work is
+    # byte-identical; finer buckets = more waves per stage = less straggler
+    # rounding when slots quadruple.
+    num_buckets = int(os.environ.get("BENCH_NUM_BUCKETS", 0)) \
+        or max(32, CPUS * 2)
     # the feed is deterministic in (n_events, n_keys, n_epochs, files) — stage
     # it ONCE and share across runs/parallelism levels: literally "the same
     # input" for the two-cluster-size rule, and no per-run staging wall-clock
@@ -119,7 +125,7 @@ def main() -> None:
     from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
     wtab = LakeTable.create(spark, f"{work}/warmup", silver_schema,
                             key_cols=["repo", "path"],
-                            num_buckets=max(32, CPUS * 2))
+                            num_buckets=num_buckets)
     merge_cdc_batch(wtab, change_feed(spark, n_events=200_000, n_keys=20_000,
                                       n_epochs=1),
                     batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
@@ -140,7 +146,7 @@ def main() -> None:
         rep_dir, rep_ckpt = f"{table_dir}_rep{rep}", f"{ckpt}_rep{rep}"
         table = LakeTable.create(spark, rep_dir, silver_schema,
                                  key_cols=["repo", "path"],
-                                 num_buckets=max(32, CPUS * 2))
+                                 num_buckets=num_buckets)
         runner = CdcStreamRunner(spark, table, feed_dir, rep_ckpt,
                                  txn_app="bench", prefilter=prefilter,
                                  salt_buckets=8, mode="mor",
