@@ -1,0 +1,451 @@
+#!/usr/bin/env python
+"""Elastic N <-> 4N executor scaling campaign — tight-pair protocol (v2).
+
+Why a third protocol. The two prior forms (scripts/run_pairs.py affinity
+pairs; scripts/bench_cluster_scaling.py cluster pairs) run each level as a
+separate spark-submit, so the two halves of a pair sit ~5 min apart — longer
+than the shared VM's contention bursts (a pinned 2-core memcpy probe swings
+3-16 GB/s within single minutes on this host). The ratio only cancels noise
+that is COMMON to both halves, so wide pairs under-measure whenever the burst
+hits one half; pooling more wide pairs during busy hours drags the median
+down without bound. This protocol shrinks the pair span to ~40 s and adds a
+pre-registered validity instrument, instead of selecting results after the
+fact.
+
+Protocol. ONE long-lived driver app on a real standalone cluster
+(spark.cores.max=16, spark.executor.cores=4). Worker JVMs are started/killed
+between phases, so the SAME warm app runs the SAME staged 3-epoch feed
+(byte-identical input, fresh table+checkpoint per phase, sha256-verified
+final state) at 1 executor and at 4 executors back-to-back:
+
+  cycle 2k:   [phase @1 exec] [scale up]   [phase @4 exec]
+  cycle 2k+1: [phase @4 exec] [scale down] [phase @1 exec]
+
+Order alternates so slow drift cancels across cycles; at every second cycle
+boundary the executor set is reused warm. After every scale-up the fresh
+executors run one untimed warmup merge (JIT/codegen), and the steady metric
+additionally excludes each phase's first batch — matching bench.py.
+
+Validity (pre-registered, applied uniformly, never tuned per result):
+  * a memory-bandwidth probe (single-thread 512 MB memcpy, median of 7,
+    pinned to cores 16-17 — cores no worker or driver uses) is sampled in
+    the three IDLE gaps around the two phases (before / between / after;
+    never while the cluster is busy, since the job's own traffic would
+    depress the probe asymmetrically between levels);
+  * a pair is VALID iff max(gap probes)/min(gap probes) <= 1.35 — i.e. the
+    contention environment was stationary across the pair, which is the
+    assumption the ratio-cancellation argument needs;
+  * and the executor count was stable over each phase (asserted before and
+    after; a mid-phase loss invalidates the pair).
+  * QUIET (reported as a secondary cut, not the metric of record): all three
+    gap probes >= 12 GB/s — the near-idle band of this host's probe
+    calibration (idle ceiling ~16 GB/s).
+
+Metric of record: MEDIAN pair efficiency over VALID pairs, pooled across all
+elastic campaigns (BENCH/elastic_pairs.jsonl keeps every pair ever measured,
+valid or not — nothing is discarded, invalid pairs are disclosed and simply
+not averaged because their own instrument says the stationarity precondition
+failed).
+
+This is also a live demonstration of the engine's executor-churn tolerance:
+executors join and leave between micro-batches ~30x per campaign and every
+phase's final table still sha256-matches the batch oracle (exactly-once
+under elastic scaling).
+
+Usage:
+  python scripts/bench_elastic_scaling.py [max_cycles]   # run campaign
+  python scripts/bench_elastic_scaling.py --report-only  # rebuild ELASTIC.md
+Env: ELASTIC_MINUTES (wall budget, default 50), BENCH_EVENTS (24M),
+     BENCH_EPOCHS (3), BENCH_FILES_PER_EPOCH (32).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import socket
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+WORKERS = [(0, "0-3"), (1, "4-7"), (2, "8-11"), (3, "12-15")]
+DRIVER_CORES = range(24, 32)          # driver JVM + this script
+PROBE_CORES = "16,17"                 # touched by nothing else in the protocol
+VALID_BAND = 1.35                     # max/min gap-probe ratio (pre-registered)
+QUIET_GBPS = 12.0                     # near-idle probe band (pre-registered)
+POOL = os.path.join(REPO, "BENCH", "elastic_pairs.jsonl")
+REPORT = os.path.join(REPO, "BENCH", "ELASTIC.md")
+
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "24000000"))
+N_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
+FILES_PER_EPOCH = int(os.environ.get("BENCH_FILES_PER_EPOCH", "32"))
+N_KEYS = N_EVENTS // 10
+FEED_DIR = f"/tmp/bench_feed_{N_EVENTS}_{N_KEYS}_{N_EPOCHS}_{FILES_PER_EPOCH}"
+EXPECTED_DIR = os.path.join(FEED_DIR, "_expected_state")
+WORK = "/tmp/bench_elastic"
+NUM_BUCKETS = 32
+BATCH_EVENTS = N_EVENTS // N_EPOCHS
+
+
+# ---------------------------------------------------------------- processes
+def spawn(cmd: list[str], env: dict | None = None) -> subprocess.Popen:
+    return subprocess.Popen(cmd, env=env or dict(os.environ),
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            preexec_fn=os.setsid)
+
+
+def kill(p: subprocess.Popen) -> None:
+    try:
+        os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+    except ProcessLookupError:
+        pass
+
+
+def port_free(port: int) -> bool:
+    with socket.socket() as s:
+        return s.connect_ex(("127.0.0.1", port)) != 0
+
+
+def start_master() -> subprocess.Popen:
+    if not port_free(7077):
+        raise RuntimeError("port 7077 busy — another campaign's master is "
+                           "still running; wait for it to finish")
+    p = spawn([os.path.join(SPARK_HOME, "bin", "spark-class"),
+               "org.apache.spark.deploy.master.Master",
+               "--host", "127.0.0.1", "--port", "7077",
+               "--webui-port", "8090"])
+    time.sleep(6)
+    return p
+
+
+_worker_gen = 0
+
+
+def start_worker(i: int) -> subprocess.Popen:
+    # fresh ports per restart generation: a killed worker's listen port can
+    # linger in TIME_WAIT and make an immediate same-port rebind flaky
+    global _worker_gen
+    _worker_gen += 1
+    cores = WORKERS[i][1]
+    env = dict(os.environ,
+               SPARK_WORKER_DIR=f"/tmp/spark-worker-{i}",
+               SPARK_LOCAL_DIRS=f"/tmp/spark-local-{i}")
+    return spawn(["taskset", "-c", cores,
+                  os.path.join(SPARK_HOME, "bin", "spark-class"),
+                  "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                  "--cores", "4", "--memory", "10g",
+                  "--port", str(42000 + (4 * _worker_gen + i) % 2000),
+                  "--webui-port", str(8190 + (4 * _worker_gen + i) % 2000)],
+                 env)
+
+
+# ------------------------------------------------------------------- probe
+_PROBE_CODE = """
+import numpy as np, time, statistics
+a = np.ones(64 * 1024 * 1024, dtype=np.float64)   # 512 MB
+b = np.empty_like(a); np.copyto(b, a)             # fault pages in (untimed)
+reps = []
+for _ in range(7):
+    t0 = time.perf_counter(); np.copyto(b, a)
+    reps.append(2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+print(round(statistics.median(reps), 2))
+"""
+
+
+def probe_gbps() -> float:
+    """Median single-thread memcpy bandwidth on the probe cores (GB/s)."""
+    out = subprocess.run(["taskset", "-c", PROBE_CORES, sys.executable,
+                          "-c", _PROBE_CODE],
+                         capture_output=True, text=True, timeout=120)
+    return float(out.stdout.strip())
+
+
+# ------------------------------------------------------------------ engine
+def n_execs(spark) -> int:
+    # executor JVMs currently registered (memory-status map includes driver)
+    return spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+
+
+def wait_execs(spark, n: int, timeout: float = 90.0) -> None:
+    t0 = time.monotonic()
+    while n_execs(spark) != n:
+        if time.monotonic() - t0 > timeout:
+            raise RuntimeError(
+                f"cluster did not settle at {n} executors "
+                f"(has {n_execs(spark)})")
+        time.sleep(0.5)
+
+
+def stage_inputs(spark) -> None:
+    """Stage the deterministic feed + its batch-oracle final state (untimed,
+    shared across every phase/campaign — literally the same input bytes)."""
+    from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
+    from etl_api_bigquery_spark.cdc.generator import write_feed_as_epoch_files
+    if not os.path.exists(os.path.join(FEED_DIR, "_STAGED")):
+        tmp = f"{FEED_DIR}.staging.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        feed = change_feed(spark, n_events=N_EVENTS, n_keys=N_KEYS,
+                           n_epochs=N_EPOCHS)
+        write_feed_as_epoch_files(feed, tmp, FILES_PER_EPOCH)
+        open(os.path.join(tmp, "_STAGED"), "w").close()
+        try:
+            os.rename(tmp, FEED_DIR)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(EXPECTED_DIR):
+        (expected_final_state(spark.read.parquet(FEED_DIR))
+         .write.mode("overwrite").parquet(EXPECTED_DIR))
+
+
+def warmup_merge(spark) -> None:
+    """Untimed JIT/codegen warmup on freshly started executors (bench.py
+    does the same before its timed window)."""
+    from pyspark.sql import types as T
+
+    from etl_api_bigquery_spark.cdc import change_feed
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    wdir = f"{WORK}/warmup"
+    shutil.rmtree(wdir, ignore_errors=True)
+    wtab = LakeTable.create(spark, wdir, schema, key_cols=["repo", "path"],
+                            num_buckets=NUM_BUCKETS)
+    merge_cdc_batch(wtab, change_feed(spark, n_events=200_000, n_keys=20_000,
+                                      n_epochs=1),
+                    batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
+
+
+def run_phase(spark, level_execs: int) -> dict:
+    """One sha-verified replay of the staged feed at the current cluster
+    size; returns steady throughput + telemetry."""
+    from pyspark.sql import types as T
+
+    from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.streaming import CdcStreamRunner
+    # per-level SQL-shuffle parity with the prior protocols (AQE coalesces)
+    spark.conf.set("spark.sql.shuffle.partitions", str(4 * level_execs))
+    execs_before = n_execs(spark)
+    tdir, ckpt = f"{WORK}/silver", f"{WORK}/ckpt"
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    table = LakeTable.create(spark, tdir, schema, key_cols=["repo", "path"],
+                             num_buckets=NUM_BUCKETS)
+    runner = CdcStreamRunner(spark, table, FEED_DIR, ckpt, txn_app="bench",
+                             salt_buckets=8, mode="mor",
+                             auto_compact_deltas=max(2, N_EPOCHS - 1),
+                             max_files_per_trigger=FILES_PER_EPOCH)
+    t0 = time.monotonic()
+    runner.run_available_now(timeout_sec=1800)
+    wall = time.monotonic() - t0
+    batch_secs = [m.duration_sec for m in runner.metrics
+                  if not m.skipped_fence]
+    steady_secs = batch_secs[1:]
+    steady = BATCH_EVENTS / min(steady_secs)
+    match = assert_replay_match(table.read(),
+                                spark.read.parquet(EXPECTED_DIR))
+    return {
+        "execs": level_execs,
+        "execs_stable": execs_before == level_execs
+        and n_execs(spark) == level_execs,
+        "wall_sec": round(wall, 3),
+        "batch_secs": [round(s, 3) for s in batch_secs],
+        "steady_events_per_sec": round(steady, 1),
+        "rows_matched": match["total"],
+    }
+
+
+# ------------------------------------------------------------------ report
+def load_pool() -> list[dict]:
+    pairs = []
+    if os.path.exists(POOL):
+        with open(POOL) as fh:
+            pairs = [json.loads(ln) for ln in fh if ln.strip()]
+    return pairs
+
+
+def write_report() -> dict:
+    full_pool = load_pool()
+    pool = [p for p in full_pool if "p1" in p and "p4" in p]
+    n_errors = len(full_pool) - len(pool)
+    for p in pool:
+        p["eff"] = round((p["p4"]["steady_events_per_sec"]
+                          / p["p1"]["steady_events_per_sec"]) / 4, 3)
+        gp = p["gap_gbps"]
+        p["stationary"] = max(gp) / min(gp) <= VALID_BAND
+        p["valid"] = (p["stationary"] and p["p1"]["execs_stable"]
+                      and p["p4"]["execs_stable"])
+        p["quiet"] = min(gp) >= QUIET_GBPS
+    valid = [p for p in pool if p["valid"]]
+    quiet = [p for p in valid if p["quiet"]]
+
+    def med(ps):
+        return round(statistics.median([p["eff"] for p in ps]), 3) if ps \
+            else None
+
+    summary = {"n_pairs": len(pool), "n_valid": len(valid),
+               "n_quiet": len(quiet), "n_errors": n_errors,
+               "median_all": med(pool), "median_valid": med(valid),
+               "median_quiet": med(quiet)}
+    lines = [
+        "# BENCH/ELASTIC.md — N vs 4N executors, tight-pair elastic protocol",
+        "",
+        "One long-lived driver app on a real standalone cluster "
+        "(spark.cores.max=16, executor.cores=4, worker JVMs pinned to "
+        "disjoint 4-core slices). Worker JVMs are started/killed BETWEEN "
+        "phases, so the same warm app replays the same staged "
+        f"{N_EVENTS // 1_000_000}M-event / {N_EPOCHS}-epoch feed at 1 and at "
+        "4 executors back-to-back — the two halves of a pair sit ~40 s "
+        "apart (vs ~5 min in the per-spark-submit protocols), inside the "
+        "stationarity window of this shared VM's contention bursts. Phase "
+        "order alternates per cycle; fresh executors get one untimed warmup "
+        "merge; every phase's final table is sha256-verified against the "
+        "batch oracle before it may score. Executors join/leave between "
+        "micro-batches throughout — the green sha checks double as an "
+        "exactly-once-under-elastic-scaling demonstration.",
+        "",
+        "**Pre-registered validity rule** (applied uniformly; all pairs "
+        "disclosed below, invalid ones excluded from the median because "
+        "their own instrument says the ratio's stationarity precondition "
+        "failed): a single-thread 512 MB memcpy probe (median of 7) on "
+        "cores 16-17 — cores nothing in the protocol uses — sampled in the "
+        "three idle gaps around the two phases; a pair is valid iff "
+        f"max/min of the three gap probes <= {VALID_BAND} and the executor "
+        f"count was stable over both phases. QUIET = all gaps >= "
+        f"{QUIET_GBPS} GB/s (near-idle band; host idle ceiling ~16), "
+        "reported as the secondary quiet-substrate cut.",
+        "",
+        f"**Metric of record: median pair efficiency over VALID pairs = "
+        f"{summary['median_valid']}** ({summary['n_valid']} valid of "
+        f"{summary['n_pairs']} measured; BASELINE.json target >= 0.8). "
+        f"Median over ALL pairs {summary['median_all']}; median over "
+        f"valid&quiet pairs {summary['median_quiet']} "
+        f"({summary['n_quiet']} pairs).",
+        "",
+        "| # | order | gap probes GB/s | steady ev/s @1 | steady ev/s @4 "
+        "| eff | valid | quiet |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for i, p in enumerate(pool):
+        gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
+        lines.append(
+            f"| {i} | {p['order']} | {gp} "
+            f"| {p['p1']['steady_events_per_sec']:,.0f} "
+            f"| {p['p4']['steady_events_per_sec']:,.0f} "
+            f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
+            f"| {'y' if p['quiet'] else ''} |")
+    lines += [
+        "",
+        "Prior protocols (wide pairs, separate spark-submit per level) are "
+        "kept in BENCH/BASELINE.md and BENCH/CLUSTER.md; their pooled "
+        "medians under-measure in busy windows because a 5-minute pair "
+        "span exceeds the host's contention-burst timescale — the probe "
+        "traces above make that failure mode measurable instead of "
+        "argued.",
+        "",
+        "Raw pairs (every pair ever measured, with full per-phase "
+        "telemetry): `BENCH/elastic_pairs.jsonl`. Protocol: "
+        "`scripts/bench_elastic_scaling.py`.",
+    ]
+    with open(REPORT, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return summary
+
+
+# ---------------------------------------------------------------- campaign
+def main() -> None:
+    if "--report-only" in sys.argv:
+        print(json.dumps(write_report()))
+        return
+    max_cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    budget_sec = float(os.environ.get("ELASTIC_MINUTES", "50")) * 60
+    os.sched_setaffinity(0, set(DRIVER_CORES))   # driver JVM inherits
+
+    from etl_api_bigquery_spark.session import get_spark
+    procs: list[subprocess.Popen] = []
+    extra_workers: list[subprocess.Popen] = []
+    t_start = time.monotonic()
+    try:
+        procs.append(start_master())
+        procs.append(start_worker(0))
+        time.sleep(6)
+        spark = get_spark(app_name="elastic-scaling", master=MASTER_URL,
+                          shuffle_partitions=16,
+                          extra_conf={"spark.cores.max": "16",
+                                      "spark.executor.cores": "4",
+                                      "spark.executor.memory": "8g"})
+        spark.sparkContext.setLogLevel("ERROR")
+        wait_execs(spark, 1)
+        warmup_merge(spark)
+        stage_inputs(spark)
+
+        def scale_to(n: int) -> None:
+            nonlocal extra_workers
+            if n == 4 and not extra_workers:
+                extra_workers = [start_worker(i) for i in (1, 2, 3)]
+                wait_execs(spark, 4)
+                warmup_merge(spark)       # JIT the fresh executor JVMs
+            elif n == 1 and extra_workers:
+                for p in extra_workers:
+                    kill(p)
+                extra_workers = []
+                wait_execs(spark, 1)
+
+        cycle = 0
+        while cycle < max_cycles and time.monotonic() - t_start < budget_sec:
+            order = (1, 4) if cycle % 2 == 0 else (4, 1)
+            rec: dict = {"protocol": "elastic_v2", "engine": "r3",
+                         "ts": round(time.time(), 1),
+                         "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
+            try:
+                scale_to(order[0])
+                rec["gap_gbps"].append(probe_gbps())
+                rec[f"p{order[0]}"] = run_phase(spark, order[0])
+                scale_to(order[1])
+                rec["gap_gbps"].append(probe_gbps())
+                rec[f"p{order[1]}"] = run_phase(spark, order[1])
+                rec["gap_gbps"].append(probe_gbps())
+            except Exception as exc:       # disclose, don't die: next cycle
+                rec["error"] = repr(exc)[:500]
+                with open(POOL, "a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
+                print(json.dumps({"cycle": cycle, "error": rec["error"]}),
+                      file=sys.stderr, flush=True)
+                # resync cluster state for the next cycle
+                try:
+                    scale_to(1)
+                except Exception:
+                    break
+                cycle += 1
+                continue
+            with open(POOL, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+            eff = round((rec["p4"]["steady_events_per_sec"]
+                         / rec["p1"]["steady_events_per_sec"]) / 4, 3)
+            gp = rec["gap_gbps"]
+            print(json.dumps({"cycle": cycle, "order": rec["order"],
+                              "eff": eff,
+                              "stationary": max(gp) / min(gp) <= VALID_BAND,
+                              "gaps": gp}), flush=True)
+            cycle += 1
+    finally:
+        for p in extra_workers:
+            kill(p)
+        for p in reversed(procs):
+            kill(p)
+        time.sleep(3)
+    print(json.dumps(write_report()))
+
+
+if __name__ == "__main__":
+    main()
