@@ -275,7 +275,10 @@ def load_pool() -> list[dict]:
 
 
 def write_report() -> dict:
-    full_pool = load_pool()
+    # score only the current engine generation — pairs from an older engine
+    # are a different population (kept in the jsonl for history)
+    gen = os.environ.get("ENGINE_GEN", "r3")
+    full_pool = [p for p in load_pool() if p.get("engine") == gen]
     pool = [p for p in full_pool if "p1" in p and "p4" in p]
     n_errors = len(full_pool) - len(pool)
     for p in pool:
