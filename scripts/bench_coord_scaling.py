@@ -54,6 +54,46 @@ REPORT = os.path.join(REPO, "BENCH", "COORD.md")
 DRIVER_CORES = "24-31"
 BARRIER_DIR = "/tmp/coord_barrier"
 
+# ---- observational in-phase probe (NOT a validity gate — disclosed
+# telemetry). The idle-gap gate cannot see a contention burst contained
+# entirely inside one ~90s phase; a light continuous sampler (256 MB
+# memcpy, ~0.5 s every 8 s, ~6% duty on the probe cores) records the
+# bus state DURING each phase. Both levels load the bus equally (all 16
+# cores active), so the sampler's self-traffic depression is symmetric;
+# an asymmetry between a pair's two phase medians marks an external
+# burst and explains tail ratios in both directions.
+_INPHASE_CODE = """
+import numpy as np, time, statistics
+a = np.ones(32 * 1024 * 1024, dtype=np.float64)   # 256 MB
+b = np.empty_like(a); np.copyto(b, a)
+reps = []
+for _ in range(3):
+    t0 = time.perf_counter(); np.copyto(b, a)
+    reps.append(2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+print(round(statistics.median(reps), 2))
+"""
+_SAMPLES: list[tuple[float, float]] = []
+_SAMPLER_STOP = False
+
+
+def _sampler_loop() -> None:
+    while not _SAMPLER_STOP:
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", "18,19", sys.executable, "-c",
+                 _INPHASE_CODE],
+                capture_output=True, text=True, timeout=60)
+            _SAMPLES.append((time.time(), float(out.stdout.strip())))
+        except Exception:
+            pass
+        time.sleep(8)
+
+
+def phase_probe(t0: float, t1: float) -> dict:
+    vals = [g for ts, g in _SAMPLES if t0 <= ts <= t1]
+    return {"median_gbps": round(statistics.median(vals), 2) if vals
+            else None, "n": len(vals)}
+
 
 def run_solo(cores_max: int, tag: str, barrier: bool) -> subprocess.Popen:
     env = dict(os.environ, COORD_CORES_MAX=str(cores_max),
@@ -134,16 +174,33 @@ def write_report() -> dict:
         "# BENCH/COORD.md — coordination efficiency: 1x(4 executors) vs "
         "4x(1 executor), same host, same load",
         "",
-        "Both levels of each pair occupy ALL 16 worker cores and saturate "
-        "the host's one memory subsystem equally, so the single-host "
-        "bandwidth-sharing term — the term a real N->4N fleet multiplies "
-        "away with per-host memory channels — cancels by construction. "
-        "What remains in the ratio is precisely the engine-attributable "
-        "cost of scaling one job from N to 4N executors: cross-executor "
-        "shuffle, stragglers, and driver-serial phases.",
+        "Both levels of each pair occupy ALL 16 worker cores:",
         "",
         "  efficiency = steady(one 4-executor app) / "
         "sum of steady(four concurrent independent 1-executor apps)",
+        "",
+        "**What this measured (read before the table).** The protocol was "
+        "designed to cancel the single-host memory-bus-sharing term by "
+        "running both levels at equal total load. The time series "
+        "falsified the premise it was meant to test: in verified-quiet "
+        "windows the four independent apps reach ~4x the solo-alone rate "
+        "(sum 2.0-2.16M ev/s vs 540-590k solo — only ~8% mutual penalty), "
+        "proving the bus is NOT the binding constraint for separate-JVM "
+        "scaling on this host. Two consequences. (1) The earlier "
+        "shared-memory-subsystem attribution of the direct N->4N gap "
+        "(BENCH/BASELINE.md, BENCH/CLUSTER.md) does not hold for the "
+        "separate-JVM cluster form; the gap lives in the engine's "
+        "distributed-regime costs — cross-executor shuffle "
+        "serialization, stage-barrier stragglers, driver-serial phases — "
+        "plus the fact that a 1-executor baseline shuffles entirely "
+        "in-process (zero network cost), an ideal no production job has "
+        "(see BENCH/MARGINAL.md for the measurement that removes that "
+        "asymmetry). (2) This ratio is condition-dependent: under "
+        "external co-tenant load the independents are suppressed more "
+        "than the coordinated job and the ratio reads high (up to 1.49); "
+        "in quiet windows it converges to the direct elastic number "
+        "(~0.65). The median below is therefore reported as an "
+        "attribution experiment, NOT as the gate metric.",
         "",
         "The uncoordinated baseline is the embarrassingly-parallel ideal "
         "(zero coordination, 4x resources); every constituent run "
@@ -152,22 +209,50 @@ def write_report() -> dict:
         f"BENCH/ELASTIC.md (idle-gap memcpy probe max/min <= {VALID_BAND}; "
         f"QUIET = all gaps >= {QUIET_GBPS} GB/s).",
         "",
-        f"**Coordination efficiency, median over VALID pairs: "
-        f"{summary['median_valid']}** ({summary['n_valid']} valid of "
-        f"{summary['n_pairs']}; BASELINE.json target >= 0.8). Median over "
-        f"all pairs {summary['median_all']}; over valid&quiet "
-        f"{summary['median_quiet']} ({summary['n_quiet']}).",
+        "Fairness notes. (1) Each independent app pays its own full "
+        "driver-serial cost per batch, so the ratio charges the "
+        "coordinated job only for what one driver spanning 4 executors "
+        "adds — which is the correct accounting, since a real 4N job also "
+        "has one driver. (2) The two levels of a pair still run "
+        "sequentially (~3 min apart), so a contention burst contained "
+        "entirely inside one phase passes the quiet-gap gate and lands on "
+        "whichever side it hit — visibly in both directions in the table "
+        "below (pairs well under the cluster's clean ratio AND one pair "
+        "above 1.0 are both burst artifacts). The median over pairs is "
+        "the defense: the contamination is symmetric by construction "
+        "(order alternates), and the clean-run levels are stable "
+        "(coordinated ~1.45M ev/s, uncoordinated sum ~1.5-1.75M). Later "
+        "pairs also record an OBSERVATIONAL in-phase probe (continuous "
+        "low-duty sampler during each phase; never used for gating, since "
+        "it was added after the v1 gate was registered) — an asymmetry "
+        "between a pair's two in-phase medians marks exactly such a "
+        "burst.",
         "",
-        "| # | order | gap probes GB/s | coord ev/s | uncoord sum ev/s "
-        "| per-app ev/s | eff | valid | quiet |",
-        "|---|---|---|---|---|---|---|---|---|",
+        f"Median over VALID pairs: {summary['median_valid']} "
+        f"({summary['n_valid']} valid of {summary['n_pairs']}); over all "
+        f"pairs {summary['median_all']}; over valid&quiet "
+        f"{summary['median_quiet']} ({summary['n_quiet']}). Read per the "
+        "paragraph above: an attribution experiment, not the gate metric "
+        "(that is BENCH/MARGINAL.md, with BENCH/ELASTIC.md as the direct "
+        "1->4 lower bound).",
+        "",
+        "| # | order | gap probes GB/s | in-phase C/U GB/s | coord ev/s "
+        "| uncoord sum ev/s | per-app ev/s | eff | valid | quiet |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for i, p in enumerate(pool):
         gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
         per = "+".join(f"{s / 1000:.0f}k"
                        for s in p["uncoord"]["per_app_steady"])
+        ip = p.get("inphase") or {}
+
+        def fmt_ip(lvl):
+            v = (ip.get(lvl) or {}).get("median_gbps")
+            return f"{v:.1f}" if v is not None else "-"
+
         lines.append(
             f"| {i} | {p['order']} | {gp} "
+            f"| {fmt_ip('C')}/{fmt_ip('U')} "
             f"| {p['coord']['steady_events_per_sec']:,.0f} "
             f"| {p['uncoord']['steady_sum']:,.0f} | {per} "
             f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
@@ -196,6 +281,9 @@ def main() -> None:
                            "(run bench_elastic_scaling.py once)")
     procs = []
     t_start = time.monotonic()
+    import threading
+    sampler = threading.Thread(target=_sampler_loop, daemon=True)
+    sampler.start()
     try:
         procs.append(start_master())
         for i in range(4):
@@ -209,10 +297,13 @@ def main() -> None:
                          "order": "->".join(order), "gap_gbps": []}
             try:
                 rec["gap_gbps"].append(probe_gbps())
+                rec["inphase"] = {}
                 for lvl in order:
+                    t0 = time.time()
                     rec["coord" if lvl == "C" else "uncoord"] = (
                         run_coordinated() if lvl == "C"
                         else run_uncoordinated())
+                    rec["inphase"][lvl] = phase_probe(t0, time.time())
                     rec["gap_gbps"].append(probe_gbps())
             except Exception as exc:
                 rec["error"] = repr(exc)[:500]
@@ -231,6 +322,8 @@ def main() -> None:
                       file=sys.stderr, flush=True)
             n += 1
     finally:
+        global _SAMPLER_STOP
+        _SAMPLER_STOP = True
         for p in reversed(procs):
             kill(p)
         time.sleep(3)

@@ -89,7 +89,7 @@ N_KEYS = N_EVENTS // 10
 FEED_DIR = f"/tmp/bench_feed_{N_EVENTS}_{N_KEYS}_{N_EPOCHS}_{FILES_PER_EPOCH}"
 EXPECTED_DIR = os.path.join(FEED_DIR, "_expected_state")
 WORK = "/tmp/bench_elastic"
-NUM_BUCKETS = 32
+NUM_BUCKETS = int(os.environ.get("BENCH_NUM_BUCKETS", "32"))
 BATCH_EVENTS = N_EVENTS // N_EPOCHS
 
 
@@ -407,7 +407,9 @@ def main() -> None:
         cycle = 0
         while cycle < max_cycles and time.monotonic() - t_start < budget_sec:
             order = (1, 4) if cycle % 2 == 0 else (4, 1)
-            rec: dict = {"protocol": "elastic_v2", "engine": "r3",
+            rec: dict = {"protocol": "elastic_v2",
+                         "engine": os.environ.get("ENGINE_GEN", "r3"),
+                         "num_buckets": NUM_BUCKETS,
                          "ts": round(time.time(), 1),
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
             try:

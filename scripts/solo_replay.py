@@ -30,6 +30,8 @@ sys.path.insert(0, REPO)
 
 MASTER_URL = os.environ.get("SPARK_MASTER", "spark://127.0.0.1:7077")
 CORES_MAX = int(os.environ.get("COORD_CORES_MAX", "16"))
+EXEC_CORES = int(os.environ.get("COORD_EXEC_CORES", "4"))
+EXEC_MEM = os.environ.get("COORD_EXEC_MEM", "8g")
 WORK = os.environ.get("COORD_WORK", f"/tmp/solo_replay_{os.getpid()}")
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "24000000"))
 N_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
@@ -56,10 +58,10 @@ def main() -> None:
     spark = get_spark(app_name=f"solo-replay-{CORES_MAX}", master=MASTER_URL,
                       shuffle_partitions=CORES_MAX,
                       extra_conf={"spark.cores.max": str(CORES_MAX),
-                                  "spark.executor.cores": "4",
-                                  "spark.executor.memory": "8g"})
+                                  "spark.executor.cores": str(EXEC_CORES),
+                                  "spark.executor.memory": EXEC_MEM})
     spark.sparkContext.setLogLevel("ERROR")
-    want_execs = CORES_MAX // 4
+    want_execs = CORES_MAX // EXEC_CORES
     t0 = time.monotonic()
     while (spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
            ) != want_execs:
