@@ -91,6 +91,17 @@ EXPECTED_DIR = os.path.join(FEED_DIR, "_expected_state")
 WORK = "/tmp/bench_elastic"
 NUM_BUCKETS = int(os.environ.get("BENCH_NUM_BUCKETS", "32"))
 BATCH_EVENTS = N_EVENTS // N_EPOCHS
+# write strategy under test: "mor" (default; bucket shuffle + delta write)
+# or "raw" (LSM append, NO full-row shuffle; prefilter keeps L0 keys-sized;
+# read-side LWW resolves). ELASTIC_COMPACT overrides the auto-compaction
+# threshold — raw counts TOTAL L0 files, so one compaction lands in-window
+# at files_per_epoch * (epochs - 1).
+MODE = os.environ.get("ELASTIC_MODE", "mor")
+PREFILTER = {"on": True, "off": False}.get(
+    os.environ.get("ELASTIC_PREFILTER", ""), None)
+COMPACT_AT = int(os.environ.get("ELASTIC_COMPACT", 0)) or (
+    FILES_PER_EPOCH * (N_EPOCHS - 1) if MODE == "raw"
+    else max(2, N_EPOCHS - 1))
 
 
 # ---------------------------------------------------------------- processes
@@ -242,8 +253,8 @@ def run_phase(spark, level_execs: int) -> dict:
     table = LakeTable.create(spark, tdir, schema, key_cols=["repo", "path"],
                              num_buckets=NUM_BUCKETS)
     runner = CdcStreamRunner(spark, table, FEED_DIR, ckpt, txn_app="bench",
-                             salt_buckets=8, mode="mor",
-                             auto_compact_deltas=max(2, N_EPOCHS - 1),
+                             salt_buckets=8, mode=MODE, prefilter=PREFILTER,
+                             auto_compact_deltas=COMPACT_AT,
                              max_files_per_trigger=FILES_PER_EPOCH)
     t0 = time.monotonic()
     runner.run_available_now(timeout_sec=1800)
@@ -409,7 +420,7 @@ def main() -> None:
             order = (1, 4) if cycle % 2 == 0 else (4, 1)
             rec: dict = {"protocol": "elastic_v2",
                          "engine": os.environ.get("ENGINE_GEN", "r3"),
-                         "num_buckets": NUM_BUCKETS,
+                         "num_buckets": NUM_BUCKETS, "mode": MODE,
                          "ts": round(time.time(), 1),
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
             try:
