@@ -488,7 +488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nested-loop, no shuffle); the LSH scale path is exercised at a
         # blockable threshold by embedding_near_dup_lsh below.
         emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
-        return near_dup_pairs(emb, threshold=0.35, method="brute")
+        # allow_quadratic: the corpus is explicitly scoped to 300 vectors
+        # (the documented contract for the brute plan); the flag skips the
+        # guard's count() action in the benched path
+        return near_dup_pairs(emb, threshold=0.35, method="brute",
+                              allow_quadratic=True)
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
     def embedding_near_dup_lsh(spark, sf):

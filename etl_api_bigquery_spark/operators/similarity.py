@@ -25,10 +25,17 @@ the training-data-pipeline surface. Two strategies:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# numpy/pandas are imported lazily inside the one Arrow-batched kernel that
+# needs them (_hyperplane_sig_udf) — the rest of this module is pure pyspark
+# expressions and must stay importable without them.
+
+#: largest corpus ``near_dup_pairs(method="brute")`` will cross-join without
+#: an explicit ``allow_quadratic=True`` — the all-pairs plan is O(n^2) and a
+#: raw call on an unscoped table must fail loudly, not run for a week.
+BRUTE_MAX_ROWS = 20_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -138,6 +145,7 @@ def near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, method: str = "lsh",
     bits: int = 128, bands: int = 8, dim: int | None = None, seed: int = 42,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
     — the semantic-dedup primitive.
@@ -166,12 +174,27 @@ def near_dup_pairs(
 
     ``dim``: pass explicitly at scale — inferring it costs one driver-side
     ``first()`` sync point.
+
+    ``allow_quadratic``: the brute path refuses corpora above
+    ``BRUTE_MAX_ROWS`` (the guard costs one ``count()``) unless the caller
+    states the O(n^2) cost is intended — the same fail-loud spirit as the
+    LSH path's chunk<2 ``ValueError``. Scoped oracle corpora pass
+    ``allow_quadratic=True`` and skip the count.
     """
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).cast("array<double>").alias("vb"))
     if method == "brute":
+        if not allow_quadratic:
+            n = emb.count()
+            if n > BRUTE_MAX_ROWS:
+                raise ValueError(
+                    f"near_dup_pairs(method='brute') on {n} rows would "
+                    f"cross-join ~{n * (n - 1) // 2:,} pairs (guard bound "
+                    f"{BRUTE_MAX_ROWS}). Scope the corpus, use "
+                    f"method='lsh' at a blockable threshold, or pass "
+                    f"allow_quadratic=True if O(n^2) is intended.")
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         pairs = near_dup_candidates(emb, id_col=id_col, vec_col=vec_col,
@@ -204,9 +227,15 @@ def near_dup_candidates(
             f"volume ~bands*n^2). Use bits >= 2*bands, e.g. bits=128 "
             f"bands=8, or method='brute' for low thresholds.")
     sig_udf = _hyperplane_sig_udf(emb.sparkSession, bits, dim, seed)
+    # NULL / wrong-length vectors are dropped BEFORE the kernel (matching the
+    # pre-r3 Catalyst expression's graceful degradation: a null vector never
+    # produced a qualifying pair anyway, since its cosine is null->filtered);
+    # the kernel itself raises descriptively on anything that slips through.
+    valid = emb.filter(F.col(vec_col).isNotNull()
+                       & (F.size(vec_col) == dim))
     # the UDF column must be materialized in its own projection: Spark
     # forbids Python UDFs inside higher-order-function lambdas
-    sigd = emb.select(
+    sigd = valid.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"))
@@ -263,7 +292,22 @@ def _hyperplane_sig_udf(spark, bits: int, dim: int, seed: int):
     the optimizer, interpreted per element at runtime) — measured at tens of
     seconds of driver-serial compile for 128×64 — while the batch matmul is
     a single BLAS call with a 64 KB closure. Sign rule (``>= 0 → '1'``) and
-    plane values match :func:`_plane_matrix` exactly."""
+    plane values match :func:`_plane_matrix` exactly.
+
+    Input contract: every vector non-NULL with exactly ``dim`` components
+    (callers pre-filter; see near_dup_candidates / lsh_topk). A ragged or
+    NULL element raises a descriptive error instead of an opaque np.stack
+    crash. NaN components follow numpy sign semantics (NaN >= 0 is False,
+    where a Catalyst comparison would yield true) — internally consistent,
+    since both sides of a candidate pair go through this same kernel."""
+    import numpy as np
+    import pandas as pd
+
+    # pandas_udf resolves the (PEP-563 stringified) `pd.Series` annotations
+    # through this module's globals — publish the deferred import there so
+    # the annotation lookup works on first use
+    globals()["pd"], globals()["np"] = pd, np
+
     planes_t = np.array(_plane_matrix(spark, bits, dim, seed),
                         dtype="float64").T  # dim × bits
 
@@ -271,6 +315,14 @@ def _hyperplane_sig_udf(spark, bits: int, dim: int, seed: int):
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
+        bad = [i for i, x in enumerate(v) if x is None or len(x) != dim]
+        if bad:
+            x = v.iloc[bad[0]]
+            raise ValueError(
+                f"hyperplane signature kernel: vector at batch offset "
+                f"{bad[0]} is {'NULL' if x is None else f'length {len(x)}'} "
+                f"but dim={dim}; filter NULL/ragged embeddings upstream or "
+                f"pass the correct dim=")
         m = np.stack([np.asarray(x, dtype="float64") for x in v])
         codes = ((m @ planes_t >= 0).astype(np.uint8) + 48).astype(np.uint8)
         return pd.Series([bytes(row).decode("ascii") for row in codes])
@@ -298,6 +350,9 @@ def lsh_topk(
 
     def banded(df, prefix):
         v = F.col(vec_col).cast("array<double>")
+        # NULL/ragged vectors dropped before the kernel (see
+        # _hyperplane_sig_udf's input contract)
+        df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         # UDF materialized in its own projection (not legal inside the HOF)
         sigd = df.select(F.col(id_col).alias(f"{prefix}_id"),
                          v.alias(f"{prefix}_vec"), sig_udf(v).alias("_sig"))

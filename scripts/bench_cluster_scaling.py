@@ -73,8 +73,9 @@ def run_level(n_cores: int) -> dict:
                SPARK_GRAFT_CPUS=str(n_cores),
                SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                  "/root/testdata/sf0.1"),
-               BENCH_EVENTS=os.environ.get("BENCH_EVENTS", "24000000"),
-               BENCH_EPOCHS=os.environ.get("BENCH_EPOCHS", "3"),
+               BENCH_EVENTS=str(N_EVENTS),
+               BENCH_EPOCHS=str(N_EPOCHS),
+               BENCH_NUM_BUCKETS=str(NUM_BUCKETS),
                BENCH_FILES_PER_EPOCH=os.environ.get("BENCH_FILES_PER_EPOCH", "32"),
                SPARK_DRIVER_MEMORY="8g",
                SPARK_EXTRA_CONF=(f"spark.cores.max={n_cores};"
@@ -93,6 +94,11 @@ def run_level(n_cores: int) -> dict:
 
 POOL_PATH = os.path.join(REPO, "BENCH", "cluster_pairs.jsonl")
 ENGINE_GEN = os.environ.get("ENGINE_GEN", "r3")
+# campaign operating point (stamped into every pool row; the pooled median
+# is computed per config — see main())
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "24000000"))
+N_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
+NUM_BUCKETS = int(os.environ.get("BENCH_NUM_BUCKETS", "32"))
 
 
 def load_pool() -> list[dict]:
@@ -123,15 +129,33 @@ def main() -> None:
                     print(f"rep{rep} {n // 4} executor(s): total "
                           f"{r['events_per_sec']} ev/s, steady "
                           f"{r['events_per_sec_steady']} ev/s", file=sys.stderr)
-                pool_fh.write(json.dumps({"engine": ENGINE_GEN, **pair}) + "\n")
+                # campaign config rides in every pool row so the report can
+                # split per operating point (different batch sizes amortize
+                # the constant driver term differently — pooling across them
+                # silently blends populations)
+                pool_fh.write(json.dumps({
+                    "engine": ENGINE_GEN, "n_events": N_EVENTS,
+                    "n_epochs": N_EPOCHS, "num_buckets": NUM_BUCKETS,
+                    **pair}) + "\n")
                 pool_fh.flush()
     finally:
         stop(procs)
 
-    # Pool with every prior same-engine pair so the median is over ALL
-    # measured pairs, not just this campaign's (avoids campaign-selection
-    # bias; each campaign is just more samples of the same protocol).
-    pool = load_pool()
+    # Pool with every prior same-engine pair AT THIS CONFIG so the median is
+    # over ALL measured pairs of one operating point (avoids both
+    # campaign-selection bias and cross-config blending; legacy rows without
+    # config fields predate this campaign's config stamping and are kept
+    # only if this campaign runs the historical default config).
+    pool = [p for p in load_pool()
+            if p.get("n_events", N_EVENTS) == N_EVENTS
+            and p.get("n_epochs", N_EPOCHS) == N_EPOCHS
+            and p.get("num_buckets", NUM_BUCKETS) == NUM_BUCKETS]
+    if not pool:
+        print(f"no pooled pairs for engine={ENGINE_GEN} at "
+              f"events={N_EVENTS} epochs={N_EPOCHS} buckets={NUM_BUCKETS} "
+              f"— campaign produced no rows (crash before first pair?) or "
+              f"ENGINE_GEN mismatch with {POOL_PATH}", file=sys.stderr)
+        sys.exit(2)
     runs = {4: [p["r4"] for p in pool], 16: [p["r16"] for p in pool]}
     best = {n: max(runs[n], key=lambda r: r["events_per_sec_steady"])
             for n in (4, 16)}

@@ -91,6 +91,11 @@ def main() -> None:
                 raise RuntimeError("GO barrier never released")
             time.sleep(0.2)
 
+    if N_EPOCHS < 2:
+        raise SystemExit(
+            "solo_replay needs BENCH_EPOCHS >= 2: the steady metric excludes "
+            "the first (warm-up) trigger, so a 1-epoch replay has no steady "
+            "batch to score — failing BEFORE the expensive replay runs")
     table = LakeTable.create(spark, f"{WORK}/silver", schema,
                              key_cols=["repo", "path"],
                              num_buckets=NUM_BUCKETS)
@@ -103,7 +108,20 @@ def main() -> None:
     wall = time.monotonic() - t0
     batch_secs = [m.duration_sec for m in runner.metrics
                   if not m.skipped_fence]
-    steady = BATCH_EVENTS / min(batch_secs[1:])
+    if len(batch_secs) < 2:
+        raise SystemExit(
+            f"only {len(batch_secs)} merge batch(es) ran — cannot score a "
+            f"steady batch (expected one trigger per epoch; check "
+            f"max_files_per_trigger vs FILES_PER_EPOCH)")
+    # per-batch INPUT events from the stream's own progress (numInputRows
+    # keyed by batchId), not the epoch==trigger assumption — robust if the
+    # file source ever splits or merges triggers
+    rows_by_id = {p.get("batchId"): p.get("numInputRows") or 0
+                  for p in runner.progress}
+    merged = [m for m in runner.metrics if not m.skipped_fence]
+    steady = max(
+        (rows_by_id.get(m.batch_id, BATCH_EVENTS)) / m.duration_sec
+        for m in merged[1:])
     match = assert_replay_match(table.read(),
                                 spark.read.parquet(EXPECTED_DIR))
     shutil.rmtree(WORK, ignore_errors=True)

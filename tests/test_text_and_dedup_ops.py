@@ -259,6 +259,44 @@ def test_near_dup_pairs_rejects_degenerate_chunks(spark):
         near_dup_pairs(emb, method="lsh", bits=16, bands=16, dim=64)
 
 
+def test_near_dup_pairs_brute_guard(spark, monkeypatch):
+    """An unscoped brute call above the documented row bound must raise
+    instead of silently running O(n^2); allow_quadratic=True opts in."""
+    import pytest
+    from etl_api_bigquery_spark.operators import similarity
+    emb = (spark.read.parquet(SF + "/embeddings.parquet")
+           .filter("vec_id < 50").select("vec_id", "embedding"))
+    monkeypatch.setattr(similarity, "BRUTE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        similarity.near_dup_pairs(emb, threshold=0.99, method="brute")
+    assert similarity.near_dup_pairs(
+        emb, threshold=0.99, method="brute",
+        allow_quadratic=True).count() == 0
+
+
+def test_near_dup_lsh_tolerates_null_and_ragged_vectors(spark):
+    """NULL and wrong-length embeddings are filtered before the signature
+    kernel (the pre-r3 Catalyst expression degraded the same way: a null
+    vector never produced a qualifying pair) instead of crashing np.stack."""
+    from pyspark.sql import functions as F
+    from etl_api_bigquery_spark.operators.similarity import (
+        lsh_topk, near_dup_pairs)
+    emb = (spark.read.parquet(SF + "/embeddings.parquet")
+           .filter("vec_id < 60").select("vec_id", "embedding"))
+    dirty = emb.unionByName(spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>"))
+    planted = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    got = {(r.id_a, r.id_b) for r in near_dup_pairs(
+        dirty.unionByName(planted), threshold=0.99, method="lsh",
+        bits=128, bands=8, dim=64).collect()}
+    assert len(got) == 20 and all(a < 9000 for a, _ in got)
+    top = lsh_topk(dirty, dirty.filter("vec_id = 0"), k=3,
+                   bits=16, bands=8, dim=64).collect()
+    assert all(r.neighbor_id not in (9001, 9002) for r in top)
+
+
 def test_full_quality_report_and_validate_coerce(spark):
     from etl_api_bigquery_spark.operators.quality import (full_quality_report,
                                                           validate_coerce)
