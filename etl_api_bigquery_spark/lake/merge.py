@@ -315,7 +315,8 @@ def merge_backfill(
         buckets: list[int] | None = sorted(int(r.b) for r in kb)
         victims = snap.files_for_buckets(buckets)
         if any(e.bucket == MIXED_BUCKET for e in victims):
-            buckets, victims = None, list(snap.files.values())
+            buckets = table.expand_bucket_closure(snap, buckets)
+            victims = snap.files_for_buckets(buckets)
     else:
         buckets, victims = None, list(snap.files.values())
         # FK-range stats pruning: one tiny agg over the (already small)
@@ -334,9 +335,9 @@ def merge_backfill(
         may = table.prune_files(victims, preds)
         if not may:
             return snap.version          # no file can match: no-op
-        if not any(e.bucket == MIXED_BUCKET for e in may):
-            buckets = sorted({e.bucket for e in may})
-            victims = snap.files_for_buckets(buckets)
+        buckets = table.expand_bucket_closure(
+            snap, table.buckets_of_entries(may))
+        victims = snap.files_for_buckets(buckets)
     target = table.read(buckets=buckets, with_bucket=True)
     filled = backfill_columns(target, source, keys, set_cols, order_col)
     props = dict(properties or {})
@@ -359,6 +360,8 @@ def merge_cdc_batch(
     mode: str = "cow",
     auto_compact_deltas: int = 16,
     prefilter: bool | None = None,
+    l0_groups: int | None = None,
+    compact_async: bool = False,
 ) -> MergeMetrics:
     """Apply one micro-batch of CDC envelopes to the table, exactly once.
 
@@ -386,10 +389,23 @@ def merge_cdc_batch(
       high-throughput CDC-ingest path (the Hudi/Paimon-style tradeoff) —
       at 10^10 events/day the per-batch rewrite of COW is unaffordable.
     * ``mode="raw"`` — LSM-style raw append: NO shuffle, NO dedup — the batch
-      is written exactly as scanned (bucket column computed map-side for
-      coarse min/max pruning); read-side LWW absorbs in-batch duplicates too.
-      Maximum write throughput; compaction (full L0 fold, triggered at
-      ``auto_compact_deltas`` total delta files) pays the deferred cost.
+      is written exactly as scanned (bucket column computed map-side);
+      read-side LWW absorbs in-batch duplicates too. Maximum write
+      throughput. ``l0_groups=G`` clusters the L0 files into G contiguous
+      bucket ranges per task (task-local sort, still no shuffle; G =
+      table.num_buckets gives fully bucket-PURE L0), restoring per-bucket
+      compaction/read locality at the cost of more, smaller files (tasks x G
+      per trigger — the knob a 1000-executor deployment tunes against its
+      file-count budget). Compaction triggers when any bucket's delta read
+      amplification reaches ``auto_compact_deltas`` and folds only the
+      closure of the hot buckets' file spans (ungrouped L0 spans everything,
+      degrading to the full L0 fold).
+
+    ``compact_async=True`` (mor/raw only): auto-compaction runs on a
+    background driver thread overlapping the next trigger's scan instead of
+    extending this batch's critical path — the per-trigger serial tail no
+    longer idles the cluster while a fold is due. See
+    :meth:`LakeTable.compact_deltas_async` for the correctness argument.
     """
     t0 = time.monotonic()
     if prefilter is None:
@@ -421,6 +437,8 @@ def merge_cdc_batch(
     # ~keys-sized; read-side max-LSN resolution absorbs any residual
     # same-max-LSN ties exactly as it absorbs cross-file duplicates.
     if mode == "raw":
+        from pyspark.sql import Observation
+        from .table import session_expr_cache
         props: dict[str, Any] = dict(extra_props or {})
         if txn_app is not None:
             props["txn_app"] = txn_app
@@ -432,17 +450,53 @@ def merge_cdc_batch(
         delta = raw.select(*_delta_select_exprs(
             table, snap0, set(events.columns) | {BUCKET_COL},
             lsn_col, op_col))
+        # counts ride on the write job via Observation — no extra stats pass
+        cache = session_expr_cache(events.sparkSession)
+        obs_aggs = cache.get(("raw_obs",))
+        if obs_aggs is None:
+            obs_aggs = [
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(F.when(F.col(OP_COL) == OP_DELETE, 1).otherwise(0)
+                      ).alias("deletes")]
+            cache[("raw_obs",)] = obs_aggs
+        obs = Observation()
+        delta = delta.observe(obs, *obs_aggs)
+
+        def lineage_props(adds):
+            got = obs.get
+            m.keys = int(got.get("keys") or 0)     # events appended
+            m.deletes = int(got.get("deletes") or 0)
+            m.upserts = m.keys - m.deletes
+            m.buckets_touched = len(table.buckets_of_entries(adds))
+            elapsed = max(time.monotonic() - t0, 1e-9)
+            return {"lineage": {
+                "batch_id": batch_id, "keys": m.keys, "deletes": m.deletes,
+                "upserts": m.upserts, "buckets_touched": m.buckets_touched,
+                "skew_factor": 0.0, "mode": mode, "target_rows_read": 0,
+                "events_per_sec": round(m.keys / elapsed, 1),
+            }}
+
+        _t_plan = time.monotonic() - t0
         m.version = table.append_deltas(delta, properties=props,
-                                        repartition=False, bucket_pure=False)
-        adds = [e for e in table.snapshot(m.version).files.values()
-                if e.path.startswith(f"data/c{m.version:010d}")]
-        m.keys = sum(e.rows for e in adds)   # events appended (~keys when prefiltered)
-        m.buckets_touched = table.num_buckets
-        n_deltas = sum(table.delta_file_counts().values())
-        if n_deltas >= auto_compact_deltas:
-            table.compact_deltas(buckets=list(range(table.num_buckets)),
-                                 properties={"auto_compact_for_batch": batch_id})
+                                        repartition=False, bucket_pure=False,
+                                        bucket_groups=l0_groups,
+                                        props_fn=lineage_props)
+        _t_commit_done = time.monotonic()
+        _write_phases = dict(table.last_write_phases)
+        counts = table.bucket_read_amplification()
+        hot = [b for b, c in counts.items() if c >= auto_compact_deltas]
+        if hot:
+            cprops = {"auto_compact_for_batch": batch_id}
+            if compact_async:
+                table.compact_deltas_async(hot, properties=cprops)
+            else:
+                table.compact_deltas(buckets=hot, properties=cprops)
         m.duration_sec = time.monotonic() - t0
+        m.extra["phases"] = {
+            "plan_build_s": round(_t_plan, 4),
+            **_write_phases,
+            "compact_s": round(time.monotonic() - _t_commit_done, 4),
+        }
         return m
 
     # ---- 1. ONE shuffle for the whole batch: repartition by bucket, then
@@ -523,13 +577,14 @@ def merge_cdc_batch(
         _t_commit_done = time.monotonic()
         _write_phases = dict(table.last_write_phases)  # before compaction
         # amortized compaction keeps read amplification bounded
-        from .table import MIXED_BUCKET as _MB
-        counts = table.delta_file_counts()
-        hot = [b for b, c in counts.items()
-               if c >= auto_compact_deltas and b != _MB]
+        counts = table.bucket_read_amplification()
+        hot = [b for b, c in counts.items() if c >= auto_compact_deltas]
         if hot:
-            table.compact_deltas(buckets=hot,
-                                 properties={"auto_compact_for_batch": batch_id})
+            cprops = {"auto_compact_for_batch": batch_id}
+            if compact_async:
+                table.compact_deltas_async(hot, properties=cprops)
+            else:
+                table.compact_deltas(buckets=hot, properties=cprops)
         m.duration_sec = time.monotonic() - t0
         # driver-serial decomposition for the scaling evidence: everything
         # except write_job_s is constant per trigger and amortizes with
@@ -578,10 +633,12 @@ def merge_cdc_batch(
         target_files = snap.files_for_buckets(buckets)
         from .table import MIXED_BUCKET
         if any(e.bucket == MIXED_BUCKET for e in target_files):
-            # raw-append deltas span buckets: a partial rewrite would
-            # leave their foreign-bucket rows duplicated -> full rewrite
-            buckets = None
-            target_files = list(snap.files.values())
+            # raw-append deltas span buckets: a partial rewrite would leave
+            # their foreign-bucket rows duplicated -> widen to the closure
+            # of the mixed files' bucket spans (grouped L0 stays local;
+            # only full-span ungrouped L0 degrades to a full rewrite)
+            buckets = table.expand_bucket_closure(snap, buckets)
+            target_files = snap.files_for_buckets(buckets)
         m.target_rows_read = sum(e.rows for e in target_files)
         props["lineage"]["target_rows_read"] = m.target_rows_read
         target = table.read(buckets=buckets, with_bucket=True)

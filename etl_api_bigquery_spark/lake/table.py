@@ -157,6 +157,9 @@ class LakeTable:
         self._txn_hwm: int = -1
         # reusable Column templates keyed by key_cols (see bucket_expr)
         self._bucket_expr_cache: dict[tuple[str, ...], Any] = {}
+        # background maintenance (async compaction) — at most one in flight
+        self._maint_pool = None
+        self._maint_future = None
 
     # ------------------------------------------------------------------ DDL
 
@@ -225,6 +228,7 @@ class LakeTable:
         removes: list[str],
         properties: dict[str, Any],
         table_meta: dict[str, Any] | None = None,
+        record_phases: bool = True,
     ) -> int:
         doc = {
             "version": version,
@@ -250,8 +254,9 @@ class LakeTable:
             os.fsync(fd)
         finally:
             os.close(fd)
-        self.last_write_phases["commit_fsync_s"] = round(
-            time.monotonic() - _tc, 4)
+        if record_phases:
+            self.last_write_phases["commit_fsync_s"] = round(
+                time.monotonic() - _tc, 4)
         self._snap_cache.pop(-1, None)
         return version
 
@@ -505,12 +510,9 @@ class LakeTable:
         may = [e for e in entries if may_have_expirable(e)]
         if not may:
             return snap.version                   # nothing can expire: no-op
-        if any(e.bucket == MIXED_BUCKET for e in may):
-            buckets: list[int] | None = None
-            victims = entries
-        else:
-            buckets = sorted({e.bucket for e in may})
-            victims = snap.files_for_buckets(buckets)
+        buckets = self.expand_bucket_closure(
+            snap, self.buckets_of_entries(may))
+        victims = snap.files_for_buckets(buckets)
         full = self.read(buckets=buckets, with_bucket=True)
         keep = full.filter(~((F.coalesce(F.col(OP_COL), F.lit("U")) == "D")
                              & (F.col(LSN_COL) < below_lsn)))
@@ -529,6 +531,7 @@ class LakeTable:
     def _write_data_files(
         self, df: DataFrame, version: int, schema: T.StructType, schema_id: int,
         repartition: bool = True, kind: str = "base", bucket_pure: bool = True,
+        bucket_groups: int | None = None, record_phases: bool = True,
     ) -> list[FileEntry]:
         """Write df (must already carry BUCKET_COL) as parquet data files.
 
@@ -537,7 +540,20 @@ class LakeTable:
         stays as a data column so snapshot reads need no basePath
         reconstruction. ``bucket_pure=False`` (raw-append deltas): files are
         written as-scanned with NO shuffle; per-file _bucket min/max stats
-        still allow coarse pruning. Stats come from parquet footers only.
+        still allow coarse pruning.
+
+        ``bucket_groups=G`` (raw-append path, requires ``bucket_pure=False``):
+        bucket-CLUSTERED L0 with no shuffle — each task's rows are split into
+        G contiguous bucket ranges via ``partitionBy`` on a derived group
+        column (Spark's dynamic-partition writer adds a task-local sort, no
+        exchange). With G = num_buckets the L0 files are fully bucket-pure
+        (labeled with real bucket ids via their footer stats), restoring
+        MOR-grade compaction/read locality; smaller G trades file count
+        (tasks x G per write) for locality. ``record_phases=False`` skips the
+        telemetry side channel (background maintenance writes must not clobber
+        the foreground merge's phase decomposition).
+
+        Stats come from parquet footers only.
         """
         out = df
         if LSN_COL not in out.columns:
@@ -555,15 +571,21 @@ class LakeTable:
                 out = out.repartition(self.num_buckets, F.col(BUCKET_COL))
             out = out.withColumn("_bkt", F.col(BUCKET_COL))
             out.write.mode("overwrite").partitionBy("_bkt").parquet(abs_dir)
+        elif bucket_groups and bucket_groups > 1:
+            gsz = -(-self.num_buckets // int(bucket_groups))   # ceil
+            out = out.withColumn(
+                "_bgrp", (F.col(BUCKET_COL) / F.lit(gsz)).cast("int"))
+            out.write.mode("overwrite").partitionBy("_bgrp").parquet(abs_dir)
         else:
             out.write.mode("overwrite").parquet(abs_dir)
         _th = time.monotonic()
         entries = self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
-        self.last_write_phases = {
-            "write_job_s": round(_th - _tw, 4),
-            "harvest_s": round(time.monotonic() - _th, 4),
-            "n_files": len(entries),
-        }
+        if record_phases:
+            self.last_write_phases = {
+                "write_job_s": round(_th - _tw, 4),
+                "harvest_s": round(time.monotonic() - _th, 4),
+                "n_files": len(entries),
+            }
         return entries
 
     # above this file count the footer harvest runs as a Spark job on
@@ -576,6 +598,7 @@ class LakeTable:
         from concurrent.futures import ThreadPoolExecutor
 
         paths = (glob.glob(os.path.join(abs_dir, "_bkt=*", "*.parquet"))
+                 + glob.glob(os.path.join(abs_dir, "_bgrp=*", "*.parquet"))
                  + glob.glob(os.path.join(abs_dir, "*.parquet")))
         if not paths:
             return []
@@ -669,9 +692,11 @@ class LakeTable:
             may = self.prune_files(entries, prune_predicates)
             if not may:
                 return snap.version          # nothing can match: no-op
-            if not any(e.bucket == MIXED_BUCKET for e in may):
-                buckets = sorted({e.bucket for e in may})
-                victims = snap.files_for_buckets(buckets)
+            # mixed (raw/grouped-L0) may-files widen the rewrite to the
+            # closure of their bucket spans, not the whole table
+            buckets = self.expand_bucket_closure(
+                snap, self.buckets_of_entries(may))
+            victims = snap.files_for_buckets(buckets)
         cond = F.expr(condition)
         keep = (self.read(buckets=buckets, with_bucket=True)
                 .filter(~cond | cond.isNull()))
@@ -693,27 +718,49 @@ class LakeTable:
         properties: dict[str, Any] | None = None,
         repartition: bool = True,
         props_fn: Any = None,
+        record_phases: bool = True,
+        retry_conflicts: bool = False,
     ) -> int:
         """Low-level: atomically swap ``remove_entries`` for the files of
         ``new_data`` (used by MERGE and compaction). ``props_fn(adds)`` (if
         given) runs after the write job but before the commit doc, so
         write-inclusive lineage (e.g. events/sec) lands in the same atomic
-        commit."""
+        commit.
+
+        ``retry_conflicts=True``: a lost optimistic-concurrency race (another
+        writer took our version number) is retried at the next version AFTER
+        re-validating every victim is still live in the new snapshot — sound
+        when the concurrent writers only ADD files (delta appends vs
+        background compaction); a concurrent REMOVE of a victim is a true
+        conflict and still raises."""
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(self._with_bucket(new_data), version,
-                                      schema, schema_id, repartition=repartition)
+                                      schema, schema_id,
+                                      repartition=repartition,
+                                      record_phases=record_phases)
         props = dict(properties or {})
         if props_fn is not None:
             props.update(props_fn(adds))
-        return self._write_commit(version, action, schema, schema_id, adds,
-                                  [e.path for e in remove_entries],
-                                  props)
+        removes = [e.path for e in remove_entries]
+        while True:
+            try:
+                return self._write_commit(version, action, schema, schema_id,
+                                          adds, removes, props,
+                                          record_phases=record_phases)
+            except CommitConflictError:
+                if not retry_conflicts:
+                    raise
+                latest = self.snapshot()
+                if any(p not in latest.files for p in removes):
+                    raise
+                version = latest.version + 1
 
     def append_deltas(self, df: DataFrame,
                       properties: dict[str, Any] | None = None,
                       repartition: bool = True,
                       bucket_pure: bool = True,
+                      bucket_groups: int | None = None,
                       props_fn: Any = None) -> int:
         """Merge-on-read write path: append LWW-resolvable change files
         (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
@@ -725,17 +772,67 @@ class LakeTable:
         ``props_fn(adds) -> dict`` (optional) is called after the data files
         are written but before the commit doc: lineage derived from the write
         itself (Observation metrics, per-bucket file stats) lands in the SAME
-        atomic commit with no extra Spark job."""
+        atomic commit with no extra Spark job.
+
+        ``bucket_groups`` (with ``bucket_pure=False``): bucket-clustered L0 —
+        see :meth:`_write_data_files`. Pure appends always retry a lost
+        commit race (adds only — nothing to re-validate), so delta writes are
+        safe concurrent with background compaction."""
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
                                       kind="delta", repartition=repartition,
-                                      bucket_pure=bucket_pure)
+                                      bucket_pure=bucket_pure,
+                                      bucket_groups=bucket_groups)
         props = dict(properties or {})
         if props_fn is not None:
             props.update(props_fn(adds))
-        return self._write_commit(version, "merge_mor", snap.schema,
-                                  snap.schema_id, adds, [], props)
+        while True:
+            try:
+                return self._write_commit(version, "merge_mor", snap.schema,
+                                          snap.schema_id, adds, [], props)
+            except CommitConflictError:
+                version = self.snapshot().version + 1
+
+    # ------------------------------------------------------- maintenance
+
+    def compact_deltas_async(self, buckets: Iterable[int],
+                             properties: dict[str, Any] | None = None):
+        """Schedule :meth:`compact_deltas` on a background driver thread so
+        its (distributed) fold job overlaps the NEXT trigger's scan and the
+        streaming wrapper's driver-serial phases instead of extending the
+        current batch's critical path.
+
+        At most one maintenance job is in flight per table — if one is
+        already running the call is a no-op (the next trigger re-evaluates
+        the per-bucket counts). Correctness under the overlap: the fold reads
+        a PINNED snapshot version and only removes that snapshot's files;
+        concurrent delta appends land at later versions and win LWW
+        resolution over the compacted base; commit races are retried with
+        victim re-validation. NOT safe concurrent with COW rewrites (a COW
+        merge derived from a pre-compaction snapshot would duplicate rows) —
+        callers gate this on delta-append modes (mor/raw), which is also why
+        :class:`~..streaming.CdcStreamRunner` joins maintenance before
+        returning. Returns the Future, or None if one was already running."""
+        if self._maint_future is not None and not self._maint_future.done():
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+        if self._maint_pool is None:
+            self._maint_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lake-maint")
+        self._maint_future = self._maint_pool.submit(
+            self.compact_deltas, buckets=list(buckets),
+            properties=properties, record_phases=False)
+        return self._maint_future
+
+    def join_maintenance(self) -> None:
+        """Block until any in-flight background maintenance commit lands and
+        re-raise its failure (a silently failed compaction would leave read
+        amplification growing unbounded)."""
+        f = self._maint_future
+        if f is not None:
+            f.result()
+            self._maint_future = None
 
     def delta_file_counts(self) -> dict[int, int]:
         """Delta files per bucket; key MIXED_BUCKET counts raw-append files."""
@@ -745,9 +842,72 @@ class LakeTable:
                 counts[e.bucket] = counts.get(e.bucket, 0) + 1
         return counts
 
+    def _entry_bucket_range(self, e: FileEntry) -> tuple[int, int]:
+        """Conservative [min, max] bucket range a mixed file may span."""
+        st = e.stats.get(BUCKET_COL)
+        if st is None:
+            return (0, self.num_buckets - 1)
+        return (int(st[0]), int(st[1]))
+
+    def bucket_read_amplification(self) -> dict[int, int]:
+        """Per-bucket DELTA-file read amplification: how many delta files a
+        read of bucket b must open. Unlike :meth:`delta_file_counts`, a
+        mixed (multi-bucket) file counts toward EVERY bucket in its footer
+        ``_bucket`` range — the number that actually drives read cost and
+        the auto-compaction trigger."""
+        counts: dict[int, int] = {}
+        for e in self.snapshot().files.values():
+            if e.kind != "delta":
+                continue
+            if e.bucket != MIXED_BUCKET:
+                counts[e.bucket] = counts.get(e.bucket, 0) + 1
+            else:
+                lo, hi = self._entry_bucket_range(e)
+                for b in range(lo, hi + 1):
+                    counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    def expand_bucket_closure(self, snap: Snapshot,
+                              buckets: Iterable[int]) -> list[int] | None:
+        """Smallest superset of ``buckets`` closed under mixed-file spans.
+
+        A rewrite of bucket set B must also rewrite every bucket that shares
+        a (raw-append / grouped-L0) file with B — otherwise the shared file's
+        foreign-bucket rows would be duplicated by the swap. Ranges can
+        chain, so iterate to a fixed point. Returns ``None`` when the closure
+        covers the whole table (callers treat None as "all buckets", the old
+        full-fold fallback — now the worst case instead of the only case)."""
+        want = set(buckets)
+        spans = [self._entry_bucket_range(e) for e in snap.files.values()
+                 if e.bucket == MIXED_BUCKET]
+        grew = True
+        while grew:
+            grew = False
+            for lo, hi in spans:
+                if any(lo <= b <= hi for b in want) \
+                        and not want.issuperset(range(lo, hi + 1)):
+                    want.update(range(lo, hi + 1))
+                    grew = True
+        if len(want) >= self.num_buckets:
+            return None
+        return sorted(want)
+
+    def buckets_of_entries(self, entries: Iterable[FileEntry]) -> set[int]:
+        """Every bucket the given file entries may contain rows of (mixed
+        files contribute their full footer ``_bucket`` range)."""
+        out: set[int] = set()
+        for e in entries:
+            if e.bucket != MIXED_BUCKET:
+                out.add(e.bucket)
+            else:
+                lo, hi = self._entry_bucket_range(e)
+                out.update(range(lo, hi + 1))
+        return out
+
     def compact_deltas(self, max_delta_files: int = 8,
                        buckets: Iterable[int] | None = None,
-                       properties: dict[str, Any] | None = None) -> int | None:
+                       properties: dict[str, Any] | None = None,
+                       record_phases: bool = True) -> int | None:
         """Fold delta files into base files for buckets whose delta count
         reached ``max_delta_files`` (or an explicit bucket list). Content
         preserving: resolved LWW state is rewritten as base; tombstones
@@ -755,11 +915,20 @@ class LakeTable:
         Hudi compaction.
 
         Raw-append (mixed-bucket) delta files span buckets, so removing one
-        requires compacting every bucket it covers — with any mixed victim
-        the target set expands to ALL buckets (LSM L0→L1 full fold)."""
+        requires compacting every bucket it covers — the target set expands
+        to the CLOSURE of the victims' footer bucket ranges
+        (:meth:`expand_bucket_closure`): grouped L0 folds per group, and only
+        ungrouped raw L0 (full-span files) degrades to the full fold.
+
+        ``record_phases=False`` + the conflict retry make this safe to run
+        from a background maintenance thread concurrent with delta appends:
+        the read is pinned to the entry snapshot (later deltas are neither
+        folded nor removed — LWW resolution keeps them winning over the
+        compacted base), and a losing commit race is retried after
+        re-validating the victims are still live."""
         snap = self.snapshot()
         if buckets is None:
-            counts = self.delta_file_counts()
+            counts = self.bucket_read_amplification()
             targets = [b for b, c in counts.items() if c >= max_delta_files]
         else:
             targets = list(buckets)
@@ -767,13 +936,16 @@ class LakeTable:
             return None
         victims = snap.files_for_buckets(targets)
         if any(e.bucket == MIXED_BUCKET for e in victims):
-            targets = None          # full-table fold
-            victims = list(snap.files.values())
-        resolved = self.read(buckets=targets, with_bucket=True)
+            targets = self.expand_bucket_closure(snap, targets)
+            victims = snap.files_for_buckets(targets)
+        resolved = self.read(version=snap.version, buckets=targets,
+                             with_bucket=True)
         props = dict(properties or {})
         props["compacted_delta_buckets"] = sorted(targets) if targets else "all"
         return self.commit_rewrite(resolved, victims, "compact_deltas",
-                                   snap.schema, snap.schema_id, props)
+                                   snap.schema, snap.schema_id, props,
+                                   record_phases=record_phases,
+                                   retry_conflicts=True)
 
     def evolve_schema(self, new_schema: T.StructType,
                       properties: dict[str, Any] | None = None) -> int:
@@ -852,6 +1024,14 @@ def _harvest_footer(fp: str, abs_dir: str, rel_dir: str, schema_id: int,
             mx = st.max if mx is None or st.max > mx else mx
         if ok and mn is not None and _json_safe(mn) and _json_safe(mx):
             stats[name] = [mn, mx, nulls]
+    if bucket == MIXED_BUCKET:
+        # a no-shuffle group write ("_bgrp=" dirs) can still be bucket-PURE
+        # (group size 1, or a task that only saw one bucket): label such
+        # files with their real bucket id from the footer stats so they are
+        # first-class citizens of manifest pruning / per-bucket compaction
+        bst = stats.get(BUCKET_COL)
+        if bst is not None and bst[0] == bst[1]:
+            bucket = int(bst[0])
     rel = os.path.join(rel_dir, os.path.relpath(fp, abs_dir))
     return FileEntry(rel, bucket, md.num_rows, os.path.getsize(fp),
                      schema_id, stats, kind).to_json()

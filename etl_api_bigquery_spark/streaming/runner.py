@@ -55,9 +55,19 @@ class CdcStreamRunner:
     _rate_t0: float | None = field(default=None, repr=False)
     _rate_events: int = field(default=0, repr=False)
     salt_buckets: int = 0
-    mode: str = "cow"                      # "cow" | "mor" write strategy
+    # write strategy: "raw" (default — LSM append, zero full-row shuffle,
+    # bucket-clustered L0, the high-throughput ingest mode) | "mor" | "cow"
+    mode: str = "raw"
     prefilter: bool | None = None          # None = merge_cdc_batch default
     auto_compact_deltas: int = 16
+    # raw L0 clustering: None = bucket-pure (one contiguous bucket range per
+    # file, groups = table.num_buckets); an int pins the group count
+    # (1 = unclustered single-file-per-task L0)
+    l0_groups: int | None = None
+    # run auto-compaction on a background driver thread so the fold overlaps
+    # the next trigger's scan; joined (and failures re-raised) before
+    # run_available_now returns
+    async_compact: bool = True
     transform: Callable[[DataFrame], DataFrame] | None = None
     # optional stateful pre-filter (applyInPandasWithState): drops events
     # at-or-below each key's high-water LSN BEFORE the sink, cutting merge
@@ -80,11 +90,15 @@ class CdcStreamRunner:
             raise RuntimeError("injected failure (test hook)")
         if self.transform is not None:
             batch_df = self.transform(batch_df)
+        groups = self.l0_groups
+        if groups is None and self.mode == "raw":
+            groups = self.table.num_buckets       # bucket-pure L0 default
         m = merge_cdc_batch(
             self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
             salt_buckets=self.salt_buckets, mode=self.mode,
             auto_compact_deltas=self.auto_compact_deltas,
-            prefilter=self.prefilter,
+            prefilter=self.prefilter, l0_groups=groups,
+            compact_async=self.async_compact and self.mode != "cow",
         )
         self.metrics.append(m)
         if self.target_events_per_sec is not None:
@@ -155,5 +169,12 @@ class CdcStreamRunner:
             if q.isActive:
                 q.stop()
         if q.exception() is not None:
+            try:      # don't leave a fold running, don't mask the stream error
+                self.table.join_maintenance()
+            except Exception:
+                pass
             raise q.exception()
+        # land any in-flight background compaction inside this drain's window
+        # (and surface its failure) — callers observe a fully maintained table
+        self.table.join_maintenance()
         return self.metrics

@@ -129,3 +129,90 @@ def test_mor_write_cost_independent_of_table_size(spark, tmp_table_dir):
     assert m.buckets_touched == 1
     got = t.read().filter("repo = 'repo_1' and path = 'x'").collect()
     assert len(got) == 1 and got[0].content == "nv"
+
+
+def test_raw_bucket_pure_l0_compacts_per_bucket(spark, tmp_table_dir):
+    """l0_groups=num_buckets: raw L0 files are bucket-PURE (labeled with real
+    bucket ids via footer stats, no shuffle added), so compaction folds ONLY
+    the hot buckets instead of the full L0 — MOR-grade locality on the
+    zero-shuffle ingest path."""
+    from etl_api_bigquery_spark.lake.table import MIXED_BUCKET
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=6000, n_keys=200, n_epochs=3).cache()
+    for e in range(3):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "rawp",
+                        mode="raw", auto_compact_deltas=10**6, l0_groups=4)
+    assert all(e.bucket != MIXED_BUCKET for e in t.snapshot().files.values())
+    expected = expected_final_state(feed)
+    assert_replay_match(t.read(), expected)
+    amp_before = t.bucket_read_amplification()
+    assert amp_before[0] >= 3
+    survivors_other = [e.path for e in t.snapshot().files.values()
+                       if e.kind == "delta" and e.bucket != 0]
+    t.compact_deltas(buckets=[0])          # folds bucket 0 ONLY
+    after = t.snapshot()
+    assert t.bucket_read_amplification().get(0) is None
+    # the other buckets' L0 files were not touched by the partial fold
+    assert all(p in after.files for p in survivors_other)
+    assert_replay_match(t.read(), expected)
+    feed.unpersist()
+
+
+def test_raw_grouped_l0_closure_bounded_fold(spark, tmp_table_dir):
+    """l0_groups=2 on a 4-bucket table: L0 files span one contiguous 2-bucket
+    range each; compacting bucket 0 expands to its GROUP's closure {0,1} and
+    leaves the other group's L0 intact (no full-table fold)."""
+    from etl_api_bigquery_spark.lake.table import MIXED_BUCKET
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=6000, n_keys=200, n_epochs=3).cache()
+    for e in range(3):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "rawg",
+                        mode="raw", auto_compact_deltas=10**6, l0_groups=2)
+    snap = t.snapshot()
+    spans = {t._entry_bucket_range(e) for e in snap.files.values()
+             if e.bucket == MIXED_BUCKET and e.kind == "delta"}
+    assert spans and all(hi - lo <= 1 for lo, hi in spans)
+    assert t.expand_bucket_closure(snap, [0]) == [0, 1]
+    expected = expected_final_state(feed)
+    other_group = [e.path for e in snap.files.values()
+                   if e.kind == "delta" and t._entry_bucket_range(e)[0] >= 2]
+    assert other_group
+    t.compact_deltas(buckets=[0])
+    after = t.snapshot()
+    assert all(p in after.files for p in other_group)
+    amp = t.bucket_read_amplification()
+    assert amp.get(0) is None and amp.get(1) is None
+    assert_replay_match(t.read(), expected)
+    feed.unpersist()
+
+
+def test_async_compaction_overlaps_and_survives_commit_race(spark, tmp_table_dir):
+    """compact_async: the fold runs on a background thread while the next
+    batch appends deltas concurrently — the lost commit race is retried, LWW
+    keeps post-snapshot deltas winning over the compacted base, and the final
+    state still matches the batch oracle."""
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=8000, n_keys=300, n_epochs=4).cache()
+    # threshold low enough that compaction is scheduled mid-stream
+    for e in range(4):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "async",
+                        mode="raw", auto_compact_deltas=2, l0_groups=4,
+                        compact_async=True)
+    t.join_maintenance()
+    assert any(h["action"] == "compact_deltas" for h in t.history())
+    assert_replay_match(t.read(), expected_final_state(feed))
+    feed.unpersist()
+
+
+def test_cow_after_grouped_raw_partial_rewrite(spark, tmp_table_dir):
+    """A COW batch over grouped-L0 deltas widens its rewrite to the groups'
+    closure (not the full table) and produces no duplicates."""
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=4000, n_keys=150, n_epochs=2).cache()
+    merge_cdc_batch(t, feed.filter("epoch = 0"), 0, "x", mode="raw",
+                    auto_compact_deltas=10**6, l0_groups=4)
+    merge_cdc_batch(t, feed.filter("epoch = 1"), 1, "x", mode="cow")
+    df = t.read()
+    assert df.groupBy("repo", "path").count().filter("count > 1").isEmpty()
+    assert_replay_match(df, expected_final_state(feed))
+    feed.unpersist()
