@@ -258,6 +258,7 @@ class LakeTable:
             self.last_write_phases["commit_fsync_s"] = round(
                 time.monotonic() - _tc, 4)
         self._snap_cache.pop(-1, None)
+        self._maybe_write_checkpoint(version)
         return version
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -285,13 +286,29 @@ class LakeTable:
             props: dict[str, Any] = prev.properties
             todo = [cv for cv in vs if base < cv <= v]
         else:
+            # COLD path (fresh driver): seed from the newest manifest
+            # checkpoint at or below v, then replay only the tail — without
+            # this a restart after 10^5 ingest commits re-reads every commit
+            # doc (the Delta/Iceberg checkpoint mechanism, from scratch)
             files = {}
             schemas = {}
             schema_id = 0
             schema = None
             table_meta = {}
             props = {}
-            todo = [cv for cv in vs if cv <= v]
+            cp_from = -1
+            cp = self._load_checkpoint(v)
+            if cp is not None:
+                files = {p: FileEntry.from_json(d)
+                         for p, d in cp["files"].items()}
+                schemas = {int(sid): T.StructType.fromJson(sj)
+                           for sid, sj in cp["schemas"].items()}
+                schema_id = cp["schema_id"]
+                schema = schemas[schema_id]
+                table_meta = cp["table"]
+                props = cp.get("properties", {})
+                cp_from = cp["version"]
+            todo = [cv for cv in vs if cp_from < cv <= v]
         for cv in todo:
             doc = self._read_doc(cv)
             schema = T.StructType.fromJson(doc["schema"])
@@ -314,6 +331,63 @@ class LakeTable:
         return snap
 
     SNAP_CACHE_MAX = 8
+    # a manifest checkpoint is written every K commits; cold opens replay
+    # checkpoint + <= K tail docs instead of the whole log
+    CHECKPOINT_INTERVAL = int(os.environ.get("LAKE_CHECKPOINT_INTERVAL", "64"))
+
+    # ------------------------------------------------------ log checkpoints
+
+    def _checkpoint_dir(self) -> str:
+        return os.path.join(self.location, _LOG_DIR, "_checkpoints")
+
+    def _checkpoint_versions(self) -> list[int]:
+        pat = os.path.join(self._checkpoint_dir(), "*.json")
+        return sorted(int(os.path.basename(p)[:-5]) for p in glob.glob(pat))
+
+    def _load_checkpoint(self, max_version: int) -> dict[str, Any] | None:
+        """Newest checkpoint doc at or below max_version, or None."""
+        cands = [c for c in self._checkpoint_versions() if c <= max_version]
+        if not cands:
+            return None
+        path = os.path.join(self._checkpoint_dir(), f"{cands[-1]:020d}.json")
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None      # torn/corrupt checkpoint: fall back to full replay
+
+    def _maybe_write_checkpoint(self, version: int) -> None:
+        """Every CHECKPOINT_INTERVAL commits, persist the full snapshot state
+        (live files, all schemas, table meta, fence high-waters) so a cold
+        driver's first snapshot()/last_txn() is O(interval), not O(commits).
+        Best-effort and crash-safe: written to a temp file then atomically
+        renamed; a missing/torn checkpoint only costs a longer replay."""
+        if version <= 0 or version % self.CHECKPOINT_INTERVAL != 0:
+            return
+        snap = self.snapshot(version)
+        self.last_txn("")            # refresh the fence scan to `version`
+        doc = {
+            "version": version,
+            "schema_id": snap.schema_id,
+            "schemas": {str(sid): json.loads(s.json())
+                        for sid, s in snap.schemas.items()},
+            "files": {p: e.to_json() for p, e in snap.files.items()},
+            "table": snap.table_meta,
+            "properties": snap.properties,
+            "txn_best": dict(self._txn_best),
+        }
+        os.makedirs(self._checkpoint_dir(), exist_ok=True)
+        path = os.path.join(self._checkpoint_dir(), f"{version:020d}.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh, separators=(",", ":"))
+            os.rename(tmp, path)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _read_doc(self, version: int) -> dict[str, Any]:
         """Commit log docs are immutable once written — cache them so the
@@ -338,7 +412,15 @@ class LakeTable:
         the per-trigger fence check is O(new commits) instead of O(log size)
         — the full-history rescan was a per-batch driver-serial cost that
         grew linearly with ingest age. Correct under concurrent writers
-        because commit docs are immutable and versions are monotonic."""
+        because commit docs are immutable and versions are monotonic.
+        A cold driver seeds the scan from the newest manifest checkpoint's
+        fence high-waters instead of re-reading the whole log."""
+        if self._txn_hwm < 0:
+            cp = self._load_checkpoint(self.current_version())
+            if cp is not None and "txn_best" in cp:
+                self._txn_best = {k: int(b)
+                                  for k, b in cp["txn_best"].items()}
+                self._txn_hwm = int(cp["version"])
         for cv in self._commit_versions():
             if cv <= self._txn_hwm:
                 continue

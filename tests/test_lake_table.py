@@ -226,3 +226,56 @@ def test_expire_tombstones_bucket_pruned(spark, tmp_table_dir):
     assert t.read().count() == 39                        # k0 stays deleted
     # no expirable tombstones left -> no-op fast path (no new commit)
     assert t.expire_tombstones(below_lsn=1000) == t.snapshot().version
+
+
+def test_commit_log_checkpoint_bounds_cold_replay(spark, tmp_table_dir,
+                                                  monkeypatch):
+    """A manifest checkpoint every K commits bounds the COLD snapshot replay
+    to checkpoint + <= K tail docs (the Delta/Iceberg checkpoint mechanism):
+    at 10^5 ingest commits a restart must not re-read the whole log. The
+    fence scan seeds from the checkpoint's txn high-waters the same way."""
+    monkeypatch.setattr(LakeTable, "CHECKPOINT_INTERVAL", 10)
+    t = make_table(spark, tmp_table_dir)
+    t.append(rows_df(spark, 50))                         # v1: real data
+    snap1 = t.snapshot()
+    for i in range(2, 36):                               # v2..v35: cheap
+        t._write_commit(i, "noop", snap1.schema, snap1.schema_id, [], [],
+                        {"txn_app": "ck", "txn_batch": i})
+    assert t._checkpoint_versions() == [10, 20, 30]
+
+    cold = LakeTable.load(spark, t.location)
+    reads = []
+    orig = LakeTable._read_doc
+    monkeypatch.setattr(LakeTable, "_read_doc",
+                        lambda self, v: (reads.append(v), orig(self, v))[1])
+    snap = cold.snapshot()
+    assert snap.version == 35
+    assert snap.files == snap1.files                     # state from checkpoint
+    assert reads and min(reads) == 31 and len(reads) == 5   # tail only
+    assert cold.last_txn("ck") == 35                     # fence seeded + tail
+    assert cold.read().count() == 50                     # data readable
+
+
+def test_checkpointed_table_state_matches_after_merges(spark, tmp_table_dir,
+                                                       monkeypatch):
+    """Checkpoint-seeded snapshots are byte-equivalent to full-replay ones on
+    a table mutated through the real merge path (deltas + compaction)."""
+    from etl_api_bigquery_spark.cdc import change_feed, expected_final_state
+    from etl_api_bigquery_spark.cdc.oracle import assert_replay_match
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    monkeypatch.setattr(LakeTable, "CHECKPOINT_INTERVAL", 2)
+    t = LakeTable.create(spark, os.path.join(tmp_table_dir, "ckm"),
+                         T.StructType([T.StructField(c, T.StringType())
+                                       for c in ("repo", "path", "commit",
+                                                 "lang", "content")]),
+                         key_cols=["repo", "path"], num_buckets=4)
+    feed = change_feed(spark, n_events=6000, n_keys=200, n_epochs=3).cache()
+    for e in range(3):
+        merge_cdc_batch(t, feed.filter(F.col("epoch") == e), e, "ckm",
+                        mode="mor", auto_compact_deltas=2)
+    assert t._checkpoint_versions()
+    cold = LakeTable.load(spark, t.location)
+    assert cold.snapshot().files == t.snapshot().files
+    assert cold.last_txn("ckm") == 2
+    assert_replay_match(cold.read(), expected_final_state(feed))
+    feed.unpersist()
