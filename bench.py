@@ -130,9 +130,18 @@ def main() -> None:
                                       n_epochs=1),
                     batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
 
-    # BENCH_PREFILTER: "on" (default, merge decides), "off" -> raw dedup path
+    # ---- ingest config. BENCH_MODE: "raw" (default — the engine's
+    # high-throughput zero-shuffle LSM path, now the runner default) | "mor"
+    # | "cow". BENCH_PREFILTER: "on"/"off"; unset defaults to ON for raw
+    # (keys-sized L0 — the benched throughput configuration; pass "off" to
+    # keep full event history in L0) and merge-default otherwise.
+    # BENCH_L0_GROUPS: raw L0 clustering (bucket ranges per task-file);
+    # default 8 — bounded file count with group-local compaction.
+    mode = os.environ.get("BENCH_MODE", "raw")
     pf_env = os.environ.get("BENCH_PREFILTER", "")
-    prefilter = {"off": False, "on": True}.get(pf_env, None)
+    prefilter = {"off": False, "on": True}.get(
+        pf_env, True if mode == "raw" else None)
+    l0_groups = int(os.environ.get("BENCH_L0_GROUPS", "8"))
 
     # Best-of-N replay reps: the host is a shared VM with 1.4-3x
     # minute-to-minute throughput swings, so a single-shot wall time is a
@@ -147,13 +156,17 @@ def main() -> None:
         table = LakeTable.create(spark, rep_dir, silver_schema,
                                  key_cols=["repo", "path"],
                                  num_buckets=num_buckets)
+        # compaction threshold (per-bucket read amplification) sized so at
+        # least one compaction lands INSIDE the timed window — steady ingest
+        # pays amortized compaction. Raw L0 grows ~files_per_epoch per bucket
+        # per trigger (one file per task x group); mor exactly 1.
+        compact_at = (files_per_epoch * max(1, n_epochs - 1)
+                      if mode == "raw" else max(2, n_epochs - 1))
         runner = CdcStreamRunner(spark, table, feed_dir, rep_ckpt,
                                  txn_app="bench", prefilter=prefilter,
-                                 salt_buckets=8, mode="mor",
-                                 # threshold < n_epochs so at least one
-                                 # compaction lands INSIDE the timed window —
-                                 # steady ingest pays amortized compaction
-                                 auto_compact_deltas=max(2, n_epochs - 1),
+                                 salt_buckets=8, mode=mode,
+                                 l0_groups=l0_groups,
+                                 auto_compact_deltas=compact_at,
                                  max_files_per_trigger=files_per_epoch)
         t0 = time.monotonic()
         runner.run_available_now(timeout_sec=3600)
@@ -249,6 +262,9 @@ def main() -> None:
         "n_events": n_events,
         "n_epochs": n_epochs,
         "cpus": CPUS,
+        "mode": mode,
+        "prefilter": prefilter,
+        "l0_groups": l0_groups if mode == "raw" else None,
         "replay_rows_matched": match["total"],
         "n_compactions_in_window": sum(
             1 for h in table.history() if h["action"] == "compact_deltas"),

@@ -99,6 +99,9 @@ BATCH_EVENTS = N_EVENTS // N_EPOCHS
 MODE = os.environ.get("ELASTIC_MODE", "mor")
 PREFILTER = {"on": True, "off": False}.get(
     os.environ.get("ELASTIC_PREFILTER", ""), None)
+# raw L0 clustering (bucket ranges per task-file); 1 = unclustered
+# single-file-per-task L0 (the r3-comparable configuration)
+L0_GROUPS = int(os.environ.get("ELASTIC_L0_GROUPS", "1"))
 COMPACT_AT = int(os.environ.get("ELASTIC_COMPACT", 0)) or (
     FILES_PER_EPOCH * (N_EPOCHS - 1) if MODE == "raw"
     else max(2, N_EPOCHS - 1))
@@ -113,8 +116,14 @@ def spawn(cmd: list[str], env: dict | None = None) -> subprocess.Popen:
 
 
 def kill(p: subprocess.Popen) -> None:
+    """SIGKILL the whole process group. The r3 campaigns used SIGTERM and
+    lost 24M-batch pairs to a race: a gracefully-terminating worker's
+    executor JVM could outlive it long enough to re-register with the
+    driver after wait_execs had already observed the scaled-down count.
+    SIGKILL takes the worker AND its executor children (same setsid group)
+    atomically."""
     try:
-        os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
     except ProcessLookupError:
         pass
 
@@ -184,10 +193,25 @@ def n_execs(spark) -> int:
     return spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 
 
-def wait_execs(spark, n: int, timeout: float = 90.0) -> None:
+def wait_execs(spark, n: int, timeout: float = 120.0,
+               hold_sec: float = 3.0) -> None:
+    """Settle at EXACTLY n executors and hold there for hold_sec — a count
+    that is merely passing through n (late executor registration, zombie
+    re-register) must not start a phase (the r3 24M campaign lost a pair to
+    a 4-core phase accidentally running with 6 executors)."""
     t0 = time.monotonic()
-    while n_execs(spark) != n:
-        if time.monotonic() - t0 > timeout:
+    stable_since = None
+    while True:
+        ok = n_execs(spark) == n
+        now = time.monotonic()
+        if ok:
+            if stable_since is None:
+                stable_since = now
+            elif now - stable_since >= hold_sec:
+                return
+        else:
+            stable_since = None
+        if now - t0 > timeout:
             raise RuntimeError(
                 f"cluster did not settle at {n} executors "
                 f"(has {n_execs(spark)})")
@@ -254,6 +278,7 @@ def run_phase(spark, level_execs: int) -> dict:
                              num_buckets=NUM_BUCKETS)
     runner = CdcStreamRunner(spark, table, FEED_DIR, ckpt, txn_app="bench",
                              salt_buckets=8, mode=MODE, prefilter=PREFILTER,
+                             l0_groups=L0_GROUPS,
                              auto_compact_deltas=COMPACT_AT,
                              max_files_per_trigger=FILES_PER_EPOCH)
     t0 = time.monotonic()
@@ -421,6 +446,8 @@ def main() -> None:
             rec: dict = {"protocol": "elastic_v2",
                          "engine": os.environ.get("ENGINE_GEN", "r3"),
                          "num_buckets": NUM_BUCKETS, "mode": MODE,
+                         "n_events": N_EVENTS, "n_epochs": N_EPOCHS,
+                         "prefilter": PREFILTER, "l0_groups": L0_GROUPS,
                          "ts": round(time.time(), 1),
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
             try:
