@@ -63,4 +63,42 @@ def get_spark(
         b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if not master.startswith("local"):
+        _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Self-ship this package to cluster executors (the spark-submit
+    ``--py-files`` step, done programmatically). local[*] executors share the
+    driver's interpreter, but standalone/YARN/K8s executor Python workers
+    unpickle task closures in their OWN interpreter — and module-level
+    functions (the distributed footer harvest, table.py:_harvest_footer)
+    pickle BY REFERENCE, so the worker must be able to import the package.
+    ``addPyFile`` ships the zip to every current executor AND to executors
+    that join later — which elastic scale-up (scripts/bench_elastic_scaling)
+    does ~30x per campaign."""
+    import zipfile
+
+    if getattr(spark, "_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    # rebuilt per driver process (cheap — a few hundred KB of source): a
+    # cached zip keyed on anything weaker than full content can ship stale
+    # code to executors after an edit, the worst kind of skew
+    zpath = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                         f"{pkg_name}-{os.getuid()}-{os.getpid()}.zip")
+    tmp = f"{zpath}.partial"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._pkg_shipped = True

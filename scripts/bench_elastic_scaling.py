@@ -133,7 +133,24 @@ def port_free(port: int) -> bool:
         return s.connect_ex(("127.0.0.1", port)) != 0
 
 
+def sweep_strays() -> None:
+    """Kill masters/workers/executors orphaned by an interrupted campaign
+    (spawned with setsid, so a Ctrl-C to the script's group misses them). A
+    stray worker re-registering with THIS campaign's master makes the
+    executor count unsettleable — seen as `did not settle at 1 (has 2)`."""
+    pats = ("org.apache.spark.deploy.master.Master",
+            "org.apache.spark.deploy.worker.Worker",
+            "org.apache.spark.executor.CoarseGrainedExecutorBackend")
+    swept = False
+    for pat in pats:
+        swept |= subprocess.run(["pkill", "-9", "-f", pat],
+                                capture_output=True).returncode == 0
+    if swept:
+        time.sleep(3)
+
+
 def start_master() -> subprocess.Popen:
+    sweep_strays()
     if not port_free(7077):
         raise RuntimeError("port 7077 busy — another campaign's master is "
                            "still running; wait for it to finish")

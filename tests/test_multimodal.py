@@ -93,6 +93,27 @@ def test_audio_kernel_wav_sine_rms():
     assert f[5] == pytest.approx(0.5, rel=1e-2)            # peak
 
 
+def test_pillow_branch_decodes_png_when_installed():
+    # exercises the soft-import Pillow path (multimodal._image_pixels) the
+    # day the dependency exists in the environment; skipped, not silently
+    # green, while it doesn't
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from etl_api_bigquery_spark.functions.multimodal import _image_pixels
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :] = (255, 128, 0)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px).save(buf, format="PNG")
+    decoded = _image_pixels(buf.getvalue())
+    assert decoded is not None
+    w, h, out = decoded
+    assert (w, h) == (6, 4)
+    assert (out == px).all()
+    f = _decode_image(buf.getvalue())
+    assert f[2] == pytest.approx(1.0) and f[4] == pytest.approx(0.0)
+
+
 def test_corrupt_assets_fall_back_to_hash_fingerprint():
     junk = b"\x00\x01definitely-not-an-image"
     assert decode_feature(junk, "image") == _decode_stub(junk, "image")
