@@ -315,6 +315,13 @@ def run_phase(spark, level_execs: int) -> dict:
         "batch_secs": [round(s, 3) for s in batch_secs],
         "steady_events_per_sec": round(steady, 1),
         "rows_matched": match["total"],
+        # per-batch phase decomposition (plan/write/harvest/fsync/compact)
+        # + the streaming wrapper's durationMs — makes every pair carry the
+        # evidence needed to attribute residual efficiency loss, instead of
+        # a separate instrumented run
+        "phases": [m.extra.get("phases") for m in runner.metrics
+                   if not m.skipped_fence],
+        "progress_ms": [p.get("durationMs", {}) for p in runner.progress],
     }
 
 
@@ -327,13 +334,7 @@ def load_pool() -> list[dict]:
     return pairs
 
 
-def write_report() -> dict:
-    # score only the current engine generation — pairs from an older engine
-    # are a different population (kept in the jsonl for history)
-    gen = os.environ.get("ENGINE_GEN", "r3")
-    full_pool = [p for p in load_pool() if p.get("engine") == gen]
-    pool = [p for p in full_pool if "p1" in p and "p4" in p]
-    n_errors = len(full_pool) - len(pool)
+def _score(pool: list[dict]) -> dict:
     for p in pool:
         p["eff"] = round((p["p4"]["steady_events_per_sec"]
                           / p["p1"]["steady_events_per_sec"]) / 4, 3)
@@ -349,20 +350,53 @@ def write_report() -> dict:
         return round(statistics.median([p["eff"] for p in ps]), 3) if ps \
             else None
 
-    summary = {"n_pairs": len(pool), "n_valid": len(valid),
-               "n_quiet": len(quiet), "n_errors": n_errors,
-               "median_all": med(pool), "median_valid": med(valid),
-               "median_quiet": med(quiet)}
+    return {"n_pairs": len(pool), "n_valid": len(valid),
+            "n_quiet": len(quiet), "median_all": med(pool),
+            "median_valid": med(valid), "median_quiet": med(quiet)}
+
+
+def write_report() -> dict:
+    # score only the current engine generation — pairs from an older engine
+    # are a different population (kept in the jsonl for history) — and
+    # report each campaign CONFIG (mode, events/batch, L0 clustering) as its
+    # own operating point: the constant per-trigger serial cost amortizes
+    # with batch size, so pooling configs would blend different regimes
+    gen = os.environ.get("ENGINE_GEN", "r3")
+    full_pool = [p for p in load_pool() if p.get("engine") == gen]
+    pool = [p for p in full_pool if "p1" in p and "p4" in p]
+    n_errors = len(full_pool) - len(pool)
+
+    def cfg_key(p: dict) -> tuple:
+        return (p.get("mode", "mor"),
+                (p.get("n_events") or N_EVENTS) // (p.get("n_epochs") or
+                                                    N_EPOCHS),
+                p.get("l0_groups") or 1)
+
+    configs: dict[tuple, list[dict]] = {}
+    for p in pool:
+        configs.setdefault(cfg_key(p), []).append(p)
+    # headline config = the one with the most valid pairs (largest batch
+    # size breaks ties — the production-representative operating point)
+    scored = {k: _score(ps) for k, ps in configs.items()}
+    headline_key = max(scored,
+                       key=lambda k: (scored[k]["n_valid"], k[1])) \
+        if scored else None
+    summary = dict(scored.get(headline_key) or
+                   {"n_pairs": 0, "n_valid": 0, "n_quiet": 0,
+                    "median_all": None, "median_valid": None,
+                    "median_quiet": None},
+                   n_errors=n_errors,
+                   configs={f"{k[0]}/{k[1] // 1_000_000}M/l0g{k[2]}":
+                            scored[k] for k in scored})
     lines = [
         "# BENCH/ELASTIC.md — N vs 4N executors, tight-pair elastic protocol",
         "",
         "One long-lived driver app on a real standalone cluster "
         "(spark.cores.max=16, executor.cores=4, worker JVMs pinned to "
         "disjoint 4-core slices). Worker JVMs are started/killed BETWEEN "
-        "phases, so the same warm app replays the same staged "
-        f"{N_EVENTS // 1_000_000}M-event / {N_EPOCHS}-epoch feed at 1 and at "
-        "4 executors back-to-back — the two halves of a pair sit ~40 s "
-        "apart (vs ~5 min in the per-spark-submit protocols), inside the "
+        "phases, so the same warm app replays the same staged feed at 1 and "
+        "at 4 executors back-to-back — the two halves of a pair sit minutes "
+        "closer than in the per-spark-submit protocols, inside the "
         "stationarity window of this shared VM's contention bursts. Phase "
         "order alternates per cycle; fresh executors get one untimed warmup "
         "merge; every phase's final table is sha256-verified against the "
@@ -381,25 +415,41 @@ def write_report() -> dict:
         f"{QUIET_GBPS} GB/s (near-idle band; host idle ceiling ~16), "
         "reported as the secondary quiet-substrate cut.",
         "",
-        f"**Metric of record: median pair efficiency over VALID pairs = "
-        f"{summary['median_valid']}** ({summary['n_valid']} valid of "
-        f"{summary['n_pairs']} measured; BASELINE.json target >= 0.8). "
-        f"Median over ALL pairs {summary['median_all']}; median over "
-        f"valid&quiet pairs {summary['median_quiet']} "
-        f"({summary['n_quiet']} pairs).",
-        "",
-        "| # | order | gap probes GB/s | steady ev/s @1 | steady ev/s @4 "
-        "| eff | valid | quiet |",
-        "|---|---|---|---|---|---|---|---|",
+        f"Engine generation `{gen}`: {len(pool)} pairs measured across "
+        f"{len(configs)} operating point(s); {n_errors} cycle(s) errored "
+        "(disclosed in the pool, never scored). Each operating point "
+        "(write mode / events per micro-batch / L0 clustering) is scored "
+        "separately — the constant per-trigger serial cost amortizes with "
+        "batch size, so their efficiencies are different populations.",
     ]
-    for i, p in enumerate(pool):
-        gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
-        lines.append(
-            f"| {i} | {p['order']} | {gp} "
-            f"| {p['p1']['steady_events_per_sec']:,.0f} "
-            f"| {p['p4']['steady_events_per_sec']:,.0f} "
-            f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
-            f"| {'y' if p['quiet'] else ''} |")
+    for key in sorted(configs, key=lambda k: (k[0], k[1])):
+        mode, batch_events, l0g = key
+        s = scored[key]
+        cfg_pool = configs[key]
+        lines += [
+            "",
+            f"## {mode} mode, {batch_events / 1_000_000:g}M events/batch, "
+            f"l0_groups={l0g}",
+            "",
+            f"**Median pair efficiency over VALID pairs = "
+            f"{s['median_valid']}** ({s['n_valid']} valid of "
+            f"{s['n_pairs']} measured; BASELINE.json target >= 0.8). "
+            f"Median over ALL pairs {s['median_all']}; median over "
+            f"valid&quiet pairs {s['median_quiet']} "
+            f"({s['n_quiet']} pairs).",
+            "",
+            "| # | order | gap probes GB/s | steady ev/s @1 "
+            "| steady ev/s @4 | eff | valid | quiet |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for i, p in enumerate(cfg_pool):
+            gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
+            lines.append(
+                f"| {i} | {p['order']} | {gp} "
+                f"| {p['p1']['steady_events_per_sec']:,.0f} "
+                f"| {p['p4']['steady_events_per_sec']:,.0f} "
+                f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
+                f"| {'y' if p['quiet'] else ''} |")
     lines += [
         "",
         "Prior protocols (wide pairs, separate spark-submit per level) are "
