@@ -157,12 +157,19 @@ def lww_prefilter(
     NULL keys hash via the same coalesce-to-sentinel rule as bucketing, so
     NULL-keyed legacy rows are filtered consistently.
 
-    ``strategy="broadcast"`` (the only one currently): exact
-    ``(xxhash64(keys), lsn)`` pair semi-join — 16 bytes/key in the broadcast
-    instead of raw string keys, so the driver-side relation build handles
-    millions of keys in sub-second time. (A bloom_filter_agg variant would
-    shrink the driver build further, but Spark does not expose that
-    aggregate through the public function registry.)
+    ``strategy="broadcast"`` (the only one currently): the winner set is
+    compressed to ONE 64-bit token per key — ``xxhash64(xxhash64(keys),
+    lsn)`` — and the semi-join keys on that single long. 8 bytes/key in the
+    broadcast, and (measured, the reason for the single-column form) the
+    broadcast relation build becomes a primitive ``LongHashedRelation``
+    instead of a generic two-column row map: the relation is built on the
+    DRIVER once per batch, a serial term that does not shrink with
+    executors, so its constant matters for scaling efficiency more than for
+    wall time. Token collisions are one-sided spurious PASSES (folded
+    downstream, see above); a key's own winner always matches its own token.
+    (A bloom_filter_agg variant would shrink the broadcast further, but
+    Spark does not expose that aggregate through the public function
+    registry.)
     """
     from .table import session_expr_cache
     cache = session_expr_cache(events.sparkSession)
@@ -171,24 +178,29 @@ def lww_prefilter(
     if tpl is None:
         kh = F.xxhash64(*[F.coalesce(F.col(k).cast("string"),
                                      F.lit("\x00null")) for k in key_cols])
-        tpl = {"kh": kh, "kh_aliased": kh.alias("_kh"),
+        # xxhash64 SKIPS null children (hash unchanged), so a NULL lsn would
+        # token-collide with its bare key hash instead of never matching —
+        # the explicit isNotNull filter below preserves the documented
+        # "NULL-lsn events are filtered out here" contract.
+        tpl = {"wtok": F.xxhash64(kh, F.col("_w_lsn")).alias("_wtok"),
+               "ltok": F.xxhash64(kh, F.col(lsn_col)).alias("_wtok"),
+               "notnull": F.col(lsn_col).isNotNull(),
                "agg": F.max(lsn_col).alias("_w_lsn")}
         cache[ck] = tpl
-    # Group by the REAL keys, then project the 64-bit hash for the broadcast
+    # Group by the REAL keys, then project the token for the broadcast
     # relation. Grouping by the hash directly would merge two colliding keys
     # into one group whose max(lsn) matches only the larger key's winner —
     # the other key's latest event would be silently DROPPED (one-sided error
     # in the wrong direction: a loss, not a spurious pass). Hashing after the
     # exact group keeps the soundness claim above true: a collision can only
-    # let extra rows through, which lww_dedup folds. Same 16-byte broadcast.
+    # let extra rows through, which lww_dedup folds.
     winners = (events.groupBy(*key_cols)
                .agg(tpl["agg"])
-               .select(tpl["kh_aliased"], "_w_lsn"))
-    left = events.withColumn("_kh", tpl["kh"])
-    cond = ((left["_kh"] == winners["_kh"])
-            & (left[lsn_col] == winners["_w_lsn"]))
-    return left.join(F.broadcast(winners), on=cond,
-                     how="left_semi").drop("_kh")
+               .select(tpl["wtok"]))
+    left = (events.filter(tpl["notnull"])
+            .select("*", tpl["ltok"]))
+    return left.join(F.broadcast(winners), on="_wtok",
+                     how="left_semi").drop("_wtok")
 
 
 def _delta_select_exprs(table: LakeTable, snap: Any, present_cols: set[str],
