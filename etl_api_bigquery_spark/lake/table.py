@@ -667,6 +667,7 @@ class LakeTable:
                 "write_job_s": round(_th - _tw, 4),
                 "harvest_s": round(time.monotonic() - _th, 4),
                 "n_files": len(entries),
+                "out_bytes": sum(e.bytes for e in entries),
             }
         return entries
 

@@ -60,10 +60,11 @@ class CdcStreamRunner:
     mode: str = "raw"
     prefilter: bool | None = None          # None = merge_cdc_batch default
     auto_compact_deltas: int = 16
-    # raw L0 clustering: None = bucket-pure (one contiguous bucket range per
-    # file, groups = table.num_buckets); an int pins the group count
-    # (1 = unclustered single-file-per-task L0)
-    l0_groups: int | None = None
+    # raw L0 clustering: None = adaptive ("auto" — per-batch group count from
+    # source bytes and a 16 MB L0 file-size floor, bucket-pure when per-task
+    # volume allows); an int pins the group count (table.num_buckets =
+    # always bucket-pure, 1 = unclustered single-file-per-task L0)
+    l0_groups: int | str | None = None
     # run auto-compaction on a background driver thread so the fold overlaps
     # the next trigger's scan; joined (and failures re-raised) before
     # run_available_now returns
@@ -92,7 +93,7 @@ class CdcStreamRunner:
             batch_df = self.transform(batch_df)
         groups = self.l0_groups
         if groups is None and self.mode == "raw":
-            groups = self.table.num_buckets       # bucket-pure L0 default
+            groups = "auto"                       # file-size-floor adaptive
         m = merge_cdc_batch(
             self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
             salt_buckets=self.salt_buckets, mode=self.mode,

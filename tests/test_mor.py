@@ -216,3 +216,40 @@ def test_cow_after_grouped_raw_partial_rewrite(spark, tmp_table_dir):
     assert df.groupBy("repo", "path").count().filter("count > 1").isEmpty()
     assert_replay_match(df, expected_final_state(feed))
     feed.unpersist()
+
+
+def test_l0_groups_sizing_rule():
+    """_l0_groups_for: largest G keeping expected L0 file size >= the floor,
+    clamped to [1, num_buckets]."""
+    from etl_api_bigquery_spark.lake.merge import _l0_groups_for
+    MB = 1 << 20
+    # production-scale per-task volume: saturates at full bucket purity
+    assert _l0_groups_for(128 * 1024 * MB, 64, 0.35, 32, 16 * MB) == 32
+    # bench-scale: 12M-event campaign shape (3.8 GB, 64 tasks, ~0.35
+    # survival) must NOT produce 2 MB files — G collapses toward 1
+    assert _l0_groups_for(3800 * MB, 64, 0.35, 32, 16 * MB) == 1
+    # mid regime: G scales with per-task bytes
+    assert _l0_groups_for(3800 * MB, 8, 1.0, 32, 16 * MB) == 29
+    # degenerate inputs: conservative full purity
+    assert _l0_groups_for(0, 8, 1.0, 32, 16 * MB) == 32
+    assert _l0_groups_for(100, 0, 1.0, 32, 16 * MB) == 32
+
+
+def test_raw_auto_l0_groups_end_to_end(spark, tmp_table_dir, tmp_path):
+    """l0_groups="auto" on a file-backed batch: resolves to a concrete G
+    (recorded in commit properties), keeps the replay sha-green, and updates
+    the trailing out/in ratio used by the next batch."""
+    t = make_table(spark, tmp_table_dir)
+    feed = change_feed(spark, n_events=6000, n_keys=200, n_epochs=2)
+    fdir = str(tmp_path / "feed_auto")
+    feed.write.mode("overwrite").parquet(fdir)
+    batch = spark.read.parquet(fdir)
+    m = merge_cdc_batch(t, batch, 0, "auto1", mode="raw",
+                        auto_compact_deltas=10**6, l0_groups="auto")
+    assert m.version >= 0
+    hist = [h for h in t.history() if h.get("properties", {})
+            .get("txn_batch") == 0]
+    g = hist[-1]["properties"]["l0_groups"]
+    assert 1 <= g <= t.num_buckets      # tiny batch -> coarse grouping
+    assert 0 < t.l0_out_ratio           # trailing ratio now measured
+    assert_replay_match(t.read(), expected_final_state(feed))
