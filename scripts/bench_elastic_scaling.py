@@ -100,8 +100,10 @@ MODE = os.environ.get("ELASTIC_MODE", "mor")
 PREFILTER = {"on": True, "off": False}.get(
     os.environ.get("ELASTIC_PREFILTER", ""), None)
 # raw L0 clustering (bucket ranges per task-file); 1 = unclustered
-# single-file-per-task L0 (the r3-comparable configuration)
-L0_GROUPS = int(os.environ.get("ELASTIC_L0_GROUPS", "1"))
+# single-file-per-task L0 (the r3-comparable configuration); "auto" = the
+# adaptive file-size-floor controller (the r4 production default)
+_l0 = os.environ.get("ELASTIC_L0_GROUPS", "1")
+L0_GROUPS = _l0 if _l0 == "auto" else int(_l0)
 COMPACT_AT = int(os.environ.get("ELASTIC_COMPACT", 0)) or (
     FILES_PER_EPOCH * (N_EPOCHS - 1) if MODE == "raw"
     else max(2, N_EPOCHS - 1))
