@@ -107,6 +107,11 @@ L0_GROUPS = _l0 if _l0 == "auto" else int(_l0)
 COMPACT_AT = int(os.environ.get("ELASTIC_COMPACT", 0)) or (
     FILES_PER_EPOCH * (N_EPOCHS - 1) if MODE == "raw"
     else max(2, N_EPOCHS - 1))
+# extra session-level SQL confs, applied IDENTICALLY to both phases of every
+# pair (e.g. "spark.sql.adaptive.enabled=false,spark.sql.files.
+# maxPartitionBytes=50331648"); recorded in each pair for provenance
+SQLCONF = dict(kv.split("=", 1) for kv in
+               os.environ.get("ELASTIC_SQLCONF", "").split(",") if kv)
 
 
 # ---------------------------------------------------------------- processes
@@ -287,6 +292,8 @@ def run_phase(spark, level_execs: int) -> dict:
     from etl_api_bigquery_spark.streaming import CdcStreamRunner
     # per-level SQL-shuffle parity with the prior protocols (AQE coalesces)
     spark.conf.set("spark.sql.shuffle.partitions", str(4 * level_execs))
+    for k, v in SQLCONF.items():
+        spark.conf.set(k, v)
     execs_before = n_execs(spark)
     tdir, ckpt = f"{WORK}/silver", f"{WORK}/ckpt"
     shutil.rmtree(tdir, ignore_errors=True)
@@ -358,18 +365,23 @@ def _score(pool: list[dict]) -> dict:
 
 
 def write_report() -> dict:
-    # score only the current engine generation — pairs from an older engine
-    # are a different population (kept in the jsonl for history) — and
-    # report each campaign CONFIG (mode, events/batch, L0 clustering) as its
-    # own operating point: the constant per-trigger serial cost amortizes
-    # with batch size, so pooling configs would blend different regimes
+    # score only the listed engine generation(s) — pairs from an older
+    # engine are a different population (kept in the jsonl for history) —
+    # and report each (gen, mode, events/batch, L0 clustering) as its own
+    # operating point: the constant per-trigger serial cost amortizes with
+    # batch size, so pooling configs would blend different regimes.
+    # ELASTIC_REPORT_GENS (comma list) lets the report carry the headline
+    # campaign AND A/B-experiment generations side by side; the summary /
+    # headline is always drawn from the FIRST listed gen.
     gen = os.environ.get("ENGINE_GEN", "r3")
-    full_pool = [p for p in load_pool() if p.get("engine") == gen]
+    gens = [g for g in os.environ.get(
+        "ELASTIC_REPORT_GENS", gen).split(",") if g]
+    full_pool = [p for p in load_pool() if p.get("engine") in gens]
     pool = [p for p in full_pool if "p1" in p and "p4" in p]
     n_errors = len(full_pool) - len(pool)
 
     def cfg_key(p: dict) -> tuple:
-        return (p.get("mode", "mor"),
+        return (p.get("engine"), p.get("mode", "mor"),
                 (p.get("n_events") or N_EVENTS) // (p.get("n_epochs") or
                                                     N_EPOCHS),
                 p.get("l0_groups") or 1)
@@ -377,18 +389,19 @@ def write_report() -> dict:
     configs: dict[tuple, list[dict]] = {}
     for p in pool:
         configs.setdefault(cfg_key(p), []).append(p)
-    # headline config = the one with the most valid pairs (largest batch
+    # headline config = first-listed gen, most valid pairs (largest batch
     # size breaks ties — the production-representative operating point)
     scored = {k: _score(ps) for k, ps in configs.items()}
-    headline_key = max(scored,
-                       key=lambda k: (scored[k]["n_valid"], k[1])) \
-        if scored else None
+    headline_keys = [k for k in scored if k[0] == gens[0]] or list(scored)
+    headline_key = max(headline_keys,
+                       key=lambda k: (scored[k]["n_valid"], k[2])) \
+        if headline_keys else None
     summary = dict(scored.get(headline_key) or
                    {"n_pairs": 0, "n_valid": 0, "n_quiet": 0,
                     "median_all": None, "median_valid": None,
                     "median_quiet": None},
                    n_errors=n_errors,
-                   configs={f"{k[0]}/{k[1] // 1_000_000}M/l0g{k[2]}":
+                   configs={f"{k[0]}/{k[1]}/{k[2] // 1_000_000}M/l0g{k[3]}":
                             scored[k] for k in scored})
     lines = [
         "# BENCH/ELASTIC.md — N vs 4N executors, tight-pair elastic protocol",
@@ -417,20 +430,25 @@ def write_report() -> dict:
         f"{QUIET_GBPS} GB/s (near-idle band; host idle ceiling ~16), "
         "reported as the secondary quiet-substrate cut.",
         "",
-        f"Engine generation `{gen}`: {len(pool)} pairs measured across "
-        f"{len(configs)} operating point(s); {n_errors} cycle(s) errored "
-        "(disclosed in the pool, never scored). Each operating point "
-        "(write mode / events per micro-batch / L0 clustering) is scored "
-        "separately — the constant per-trigger serial cost amortizes with "
-        "batch size, so their efficiencies are different populations.",
+        f"Engine generation(s) `{','.join(gens)}`: {len(pool)} pairs "
+        f"measured across {len(configs)} operating point(s); {n_errors} "
+        "cycle(s) errored (disclosed in the pool, never scored). Each "
+        "operating point (engine gen / write mode / events per micro-batch "
+        "/ L0 clustering) is scored separately — the constant per-trigger "
+        "serial cost amortizes with batch size, so their efficiencies are "
+        "different populations. Generations beyond the first are "
+        "A/B-experiment populations (one lever changed, named in the gen "
+        "tag), not the headline engine.",
     ]
-    for key in sorted(configs, key=lambda k: (k[0], k[1])):
-        mode, batch_events, l0g = key
+    for key in sorted(configs,
+                      key=lambda k: (gens.index(k[0]), k[1], k[2])):
+        kgen, mode, batch_events, l0g = key
         s = scored[key]
         cfg_pool = configs[key]
         lines += [
             "",
-            f"## {mode} mode, {batch_events / 1_000_000:g}M events/batch, "
+            f"## {kgen}: {mode} mode, "
+            f"{batch_events / 1_000_000:g}M events/batch, "
             f"l0_groups={l0g}",
             "",
             f"**Median pair efficiency over VALID pairs = "
@@ -519,6 +537,8 @@ def main() -> None:
                          "prefilter": PREFILTER, "l0_groups": L0_GROUPS,
                          "ts": round(time.time(), 1),
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
+            if SQLCONF:
+                rec["sqlconf"] = SQLCONF
             try:
                 scale_to(order[0])
                 rec["gap_gbps"].append(probe_gbps())
