@@ -112,6 +112,12 @@ COMPACT_AT = int(os.environ.get("ELASTIC_COMPACT", 0)) or (
 # maxPartitionBytes=50331648"); recorded in each pair for provenance
 SQLCONF = dict(kv.split("=", 1) for kv in
                os.environ.get("ELASTIC_SQLCONF", "").split(",") if kv)
+# extra APP-creation confs (executor JVM opts, memory, ...) for A/B levers
+# that cannot change on a live session (e.g. "spark.executor.
+# extraJavaOptions=-XX:+UseParallelGC"); ';'-separated because JVM opt
+# strings may contain commas; recorded in each pair for provenance
+APPCONF = dict(kv.split("=", 1) for kv in
+               os.environ.get("ELASTIC_APPCONF", "").split(";") if kv)
 
 
 # ---------------------------------------------------------------- processes
@@ -509,7 +515,8 @@ def main() -> None:
                           shuffle_partitions=16,
                           extra_conf={"spark.cores.max": "16",
                                       "spark.executor.cores": "4",
-                                      "spark.executor.memory": "8g"})
+                                      "spark.executor.memory": "8g",
+                                      **APPCONF})
         spark.sparkContext.setLogLevel("ERROR")
         wait_execs(spark, 1)
         warmup_merge(spark)
@@ -539,6 +546,8 @@ def main() -> None:
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
             if SQLCONF:
                 rec["sqlconf"] = SQLCONF
+            if APPCONF:
+                rec["appconf"] = APPCONF
             try:
                 scale_to(order[0])
                 rec["gap_gbps"].append(probe_gbps())
