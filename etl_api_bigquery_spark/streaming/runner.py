@@ -59,6 +59,9 @@ class CdcStreamRunner:
     # bucket-clustered L0, the high-throughput ingest mode) | "mor" | "cow"
     mode: str = "raw"
     prefilter: bool | None = None          # None = merge_cdc_batch default
+    # "broadcast" (exact winner-token semi-join) | "bloom" (distributed
+    # bloom build, no driver-serial relation build — see lww_prefilter)
+    prefilter_strategy: str = "broadcast"
     auto_compact_deltas: int = 16
     # raw L0 clustering: None = adaptive ("auto" — per-batch group count from
     # source bytes and a 16 MB L0 file-size floor, bucket-pure when per-task
@@ -98,7 +101,8 @@ class CdcStreamRunner:
             self.table, batch_df, batch_id=batch_id, txn_app=self.txn_app,
             salt_buckets=self.salt_buckets, mode=self.mode,
             auto_compact_deltas=self.auto_compact_deltas,
-            prefilter=self.prefilter, l0_groups=groups,
+            prefilter=self.prefilter,
+            prefilter_strategy=self.prefilter_strategy, l0_groups=groups,
             compact_async=self.async_compact and self.mode != "cow",
         )
         self.metrics.append(m)

@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--mode", choices=["cow", "mor", "raw"], default="mor")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--prefilter", choices=["default", "on", "off", "bloom"],
+                    default="default",
+                    help="LWW winner prefilter: on/off, or 'bloom' for the "
+                         "distributed bloom strategy (no driver-serial "
+                         "broadcast build)")
     ap.add_argument("--stateful-filter", action="store_true",
                     help="stateful LWW staleness pre-filter "
                          "(applyInPandasWithState) before the MERGE sink")
@@ -71,6 +76,10 @@ def main() -> None:
         spark, table, args.feed_dir, args.checkpoint, txn_app=args.txn_app,
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=args.salt_buckets, mode=args.mode,
+        prefilter={"on": True, "off": False, "bloom": True,
+                   "default": None}[args.prefilter],
+        prefilter_strategy=("bloom" if args.prefilter == "bloom"
+                            else "broadcast"),
         stateful_staleness_filter=args.stateful_filter)
     t0 = time.monotonic()
     metrics = runner.run_available_now()

@@ -97,8 +97,12 @@ BATCH_EVENTS = N_EVENTS // N_EPOCHS
 # threshold — raw counts TOTAL L0 files, so one compaction lands in-window
 # at files_per_epoch * (epochs - 1).
 MODE = os.environ.get("ELASTIC_MODE", "mor")
-PREFILTER = {"on": True, "off": False}.get(
+PREFILTER = {"on": True, "off": False, "bloom": True}.get(
     os.environ.get("ELASTIC_PREFILTER", ""), None)
+# "bloom" selects the distributed bloom winner-set strategy (no per-batch
+# driver-serial broadcast-relation build); anything else = exact broadcast
+PREFILTER_STRATEGY = ("bloom" if os.environ.get("ELASTIC_PREFILTER") ==
+                      "bloom" else "broadcast")
 # raw L0 clustering (bucket ranges per task-file); 1 = unclustered
 # single-file-per-task L0 (the r3-comparable configuration); "auto" = the
 # adaptive file-size-floor controller (the r4 production default)
@@ -310,6 +314,7 @@ def run_phase(spark, level_execs: int) -> dict:
                              num_buckets=NUM_BUCKETS)
     runner = CdcStreamRunner(spark, table, FEED_DIR, ckpt, txn_app="bench",
                              salt_buckets=8, mode=MODE, prefilter=PREFILTER,
+                             prefilter_strategy=PREFILTER_STRATEGY,
                              l0_groups=L0_GROUPS,
                              auto_compact_deltas=COMPACT_AT,
                              max_files_per_trigger=FILES_PER_EPOCH)
@@ -541,7 +546,9 @@ def main() -> None:
                          "engine": os.environ.get("ENGINE_GEN", "r3"),
                          "num_buckets": NUM_BUCKETS, "mode": MODE,
                          "n_events": N_EVENTS, "n_epochs": N_EPOCHS,
-                         "prefilter": PREFILTER, "l0_groups": L0_GROUPS,
+                         "prefilter": PREFILTER,
+                         "prefilter_strategy": PREFILTER_STRATEGY,
+                         "l0_groups": L0_GROUPS,
                          "ts": round(time.time(), 1),
                          "order": f"{order[0]}->{order[1]}", "gap_gbps": []}
             if SQLCONF:
