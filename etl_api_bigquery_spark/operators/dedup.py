@@ -113,9 +113,7 @@ def minhash_lsh_candidates(
     # The band self-join carries ONLY (_id, _band, _bh) — 24 bytes/row —
     # through the explode x bands shuffle; the full shingle arrays (the
     # dominant payload at 10^9 docs) are re-joined afterwards for just the
-    # surviving candidate ids. Shingling is recomputed for the payload scan
-    # (Catalyst prunes the minhash off that subtree), which is a cheap
-    # columnar pass vs shuffling every doc's shingle set bands times.
+    # surviving candidate ids.
     banded = sig.select(
         "_id",
         F.posexplode(F.transform(
@@ -129,11 +127,27 @@ def minhash_lsh_candidates(
     )
     a = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
     b = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    # pairs is referenced twice below (survivor-id broadcast build + final
+    # verify join); persist so the shingle+minhash+band pipeline runs ONCE.
+    # The pair set is small by LSH design (that is the point of banding), so
+    # the cache is a few longs per surviving candidate, disk-spillable.
     pairs = (a.join(b, on=["_band", "_bh"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b")
-              .dropDuplicates(["id_a", "id_b"]))
-    payload = sig.select("_id", "_sh")
+              .dropDuplicates(["id_a", "id_b"])
+              .persist())
+    # Re-shingle ONLY the surviving candidate docs: broadcast the (small)
+    # survivor-id set and semi-join it against the source BEFORE the shingle
+    # projection, so the second shingle pass is O(candidates), not O(corpus).
+    # (Filtering sig itself would not help — whole-stage codegen evaluates
+    # the projection before the join probe, shingling every row again.)
+    cand_ids = (pairs.select(F.col("id_a").alias("_id"))
+                .union(pairs.select(F.col("id_b").alias("_id")))
+                .distinct())
+    payload = (df.join(F.broadcast(cand_ids),
+                       F.col(id_col) == F.col("_id"), "left_semi")
+                 .select(F.col(id_col).alias("_id"),
+                         shingles(text_col, shingle_n).alias("_sh")))
     enriched = (pairs
                 .join(payload.select(F.col("_id").alias("id_a"),
                                      F.col("_sh").alias("_sha")), on="id_a")
