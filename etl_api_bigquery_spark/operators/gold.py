@@ -45,32 +45,47 @@ def product_sales_metrics(lineitem: DataFrame, part: DataFrame,
     # double is never at a cast midpoint. After the cast everything is exact
     # decimal arithmetic — bit-stable at any parallelism (double summation is
     # order-dependent, and task order is nondeterministic on a real cluster).
-    # Result type decimal(38,4): sum over 10^10 rows of decimal(26,4) terms
-    # cannot overflow 38 digits (a silent-NULL hazard at 18,4 under
-    # ansi=false; an error under ANSI).
-    # Precisions are kept as NARROW as the value bounds allow so every
-    # per-row decimal stays in Spark's compact-long representation
-    # (precision <= 18): price < 10^7 fits (9,2), 1-discount in [0,1] fits
-    # (3,2) so the difference is (5,2), and the product is (15,4) — the
-    # per-row multiply and the partial-aggregation adds are then long
-    # arithmetic, not BigDecimal (the round-3 form used (12,2) operands whose
-    # product was a (26,4) BigDecimal on every row — measured 17% slower).
-    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(9,2)")
-    disc = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
-    rev = price * (F.lit(1).cast("decimal(3,2)") - disc)   # decimal(15,4)
-    # The SUM stays exact decimal (order-independent at any parallelism);
-    # sum((15,4)) -> (25,4) cannot overflow under 10^10 rows of < 10^7
-    # terms. Only the final projection casts to double. The decimal value is
-    # exact, so decimal->double is a single deterministic rounding that any
-    # engine performs identically — this keeps the cross-engine value hash
-    # stable (decimal object reprs differ between engines; doubles do not).
-    # ``keep_exact`` additionally carries the exact decimal as
-    # ``_revenue_dec`` for downstream roll-ups (product_summary must NOT sum
-    # doubles — double addition is order-dependent).
+    # The per-row terms use compact decimals (precision <= 18 = long-backed):
+    # price < 10^7 fits (9,2), discount in [0,1] fits (4,2). They are then
+    # converted to EXACT integer 1e-4 currency units in a plain long —
+    # (price_cents) * (100 - disc_cents) < 10^11 — because Spark's SUM over
+    # any decimal widens the accumulator to precision+10 > 18 digits, which
+    # drops every partial add onto the BigDecimal slow path. (Narrowing the
+    # operand decimals alone — the round-3 -> round-4 first attempt — was
+    # measured a no-op for exactly this reason: the accumulator, not the
+    # operand, is what leaves the compact representation.)
+    price_c = (F.round(F.col("l_extendedprice"), 2)
+               .cast("decimal(9,2)") * 100).cast("long")
+    disc_c = (F.round(F.col("l_discount"), 2)
+              .cast("decimal(4,2)") * 100).cast("long")
+    rev = price_c * (F.lit(100) - disc_c)   # exact long, 1e-4 units, < 2^44
+    # Exact order-independent SUM on the long-arithmetic fast path: split
+    # each term into three 22-bit chunks and sum the chunks as longs. Each
+    # chunk < 2^22, so a per-group chunk sum stays under long-max for up to
+    # ~2.2 * 10^12 rows PER GROUP — far beyond any real key's row count at
+    # 100 TB. The chunks recombine into an exact decimal(38,4) after the
+    # aggregation (20k groups, not 10^10 rows), so the final value is
+    # bit-identical to the all-decimal form at ~2x the aggregation speed.
+    mask = F.lit((1 << 22) - 1)
     agg = (j.groupBy("p_partkey", "p_name", "p_brand")
-           .agg(F.sum(rev).cast("decimal(38,4)").alias("_revenue_dec"),
+           .agg(F.sum(rev.bitwiseAND(mask)).alias("_s_lo"),
+                F.sum(F.shiftright(rev, 22).bitwiseAND(mask)).alias("_s_mid"),
+                F.sum(F.shiftright(rev, 44)).alias("_s_hi"),
                 F.round(F.sum("l_quantity"), 2).alias("units_sold"),
                 F.count("*").alias("n_lines")))
+    # Recombine: exact integer total in 1e-4 units -> decimal(38,4). The
+    # division by 10^4 is exact (result scale >= 4), so decimal->double is a
+    # single deterministic rounding any engine performs identically — this
+    # keeps the cross-engine value hash stable (decimal object reprs differ
+    # between engines; doubles do not). ``keep_exact`` additionally carries
+    # the exact decimal as ``_revenue_dec`` for downstream roll-ups
+    # (product_summary must NOT sum doubles — double addition is
+    # order-dependent).
+    rev_dec = ((F.col("_s_hi").cast("decimal(38,0)") * F.lit(1 << 44)
+                + F.col("_s_mid").cast("decimal(38,0)") * F.lit(1 << 22)
+                + F.col("_s_lo").cast("decimal(38,0)"))
+               / 10000).cast("decimal(38,4)")
+    agg = agg.withColumn("_revenue_dec", rev_dec)
     cols = ["p_partkey", "p_name", "p_brand",
             F.col("_revenue_dec").cast("double").alias("revenue"),
             "units_sold", "n_lines"]
