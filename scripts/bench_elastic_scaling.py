@@ -458,7 +458,12 @@ def write_report() -> dict:
         "merge; every phase's final table is sha256-verified against the "
         "batch oracle before it may score. Executors join/leave between "
         "micro-batches throughout — the green sha checks double as an "
-        "exactly-once-under-elastic-scaling demonstration.",
+        "exactly-once-under-elastic-scaling demonstration. Generations "
+        "whose pair rows carry `warm_feed: true` additionally re-pin the "
+        "staged feed in the OS page cache at each cycle start (before the "
+        "first gap probe, never inside a phase), so read-side cache state "
+        "is symmetric across the two halves of a pair — cold reads cost "
+        "the 16-slot phase ~4x more slot-seconds than the 4-slot phase.",
         "",
         "**Pre-registered validity rule** (applied uniformly; all pairs "
         "disclosed below, invalid ones excluded from the median because "
