@@ -303,6 +303,27 @@ def warm_feed() -> None:
           f"{time.monotonic() - t0:.1f}s", flush=True)
 
 
+def gap_sync() -> None:
+    """Drain filesystem writeback inside the idle gap (ELASTIC_GAP_SYNC=1).
+
+    The r4g order split (4->1 pairs median 0.806, 1->4 pairs 0.737)
+    localized another substrate ASYMMETRY: a phase writes ~GBs of table +
+    checkpoint data, and when the 16-slot phase runs second it absorbs the
+    prior phase's dirty-page writeback + journal flush with 4x the
+    slot-seconds exposure (the 4-core phase barely notices — idle cores
+    absorb the kernel threads). Unlink the previous phase's output FIRST
+    (dropping its dirty pages without IO — run_phase re-creates the dirs
+    anyway), then os.sync() so journal/metadata flush lands in the gap,
+    before the gap probe, never inside a timed phase."""
+    if os.environ.get("ELASTIC_GAP_SYNC") != "1":
+        return
+    t0 = time.monotonic()
+    shutil.rmtree(f"{WORK}/silver", ignore_errors=True)
+    shutil.rmtree(f"{WORK}/ckpt", ignore_errors=True)
+    os.sync()
+    print(f"[gap_sync] {time.monotonic() - t0:.1f}s", flush=True)
+
+
 def warmup_merge(spark) -> None:
     """Untimed JIT/codegen warmup on freshly started executors (bench.py
     does the same before its timed window)."""
@@ -593,14 +614,19 @@ def main() -> None:
                 rec["appconf"] = APPCONF
             if os.environ.get("ELASTIC_WARM_FEED") == "1":
                 rec["warm_feed"] = True
+            if os.environ.get("ELASTIC_GAP_SYNC") == "1":
+                rec["gap_sync"] = True
             try:
                 warm_feed()      # re-touch BEFORE the first gap probe
+                gap_sync()
                 scale_to(order[0])
                 rec["gap_gbps"].append(probe_gbps())
                 rec[f"p{order[0]}"] = run_phase(spark, order[0])
+                gap_sync()       # drain phase-A writeback in the gap
                 scale_to(order[1])
                 rec["gap_gbps"].append(probe_gbps())
                 rec[f"p{order[1]}"] = run_phase(spark, order[1])
+                gap_sync()
                 rec["gap_gbps"].append(probe_gbps())
             except Exception as exc:       # disclose, don't die: next cycle
                 rec["error"] = repr(exc)[:500]
