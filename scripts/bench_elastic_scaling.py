@@ -343,6 +343,33 @@ def warmup_merge(spark) -> None:
                     batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
 
 
+def _cpu_counters() -> tuple[int, int, int]:
+    """(steal, iowait, total) jiffies summed over the 16 worker cores.
+
+    PRE-REGISTERED in-phase co-tenancy instrument (added before the r4i
+    campaign ran; applied uniformly to every pair that records it). The
+    idle-gap memcpy probe bounds the ambient state AROUND a phase but is
+    blind to a hypervisor-level burst landing INSIDE one — the exact term
+    the round-4 plateau analysis attributes the residual spread to.
+    /proc/stat steal time is passive (no bandwidth perturbation, unlike an
+    in-phase memcpy) and counts precisely the cycles a co-tenant VM took
+    from this one. Supplementary cut (reported alongside, never replacing,
+    the primary gap-probe validity rule): STEAL-QUIET = steal fraction
+    <= 1% of elapsed core-seconds over BOTH phases of the pair."""
+    steal = iowait = total = 0
+    with open("/proc/stat") as fh:
+        for ln in fh:
+            if ln.startswith("cpu") and ln[3].isdigit():
+                core = int(ln.split()[0][3:])
+                if core > 15:        # only the worker cores
+                    continue
+                f = [int(x) for x in ln.split()[1:]]
+                steal += f[7]
+                iowait += f[4]
+                total += sum(f)
+    return steal, iowait, total
+
+
 def run_phase(spark, level_execs: int) -> dict:
     """One sha-verified replay of the staged feed at the current cluster
     size; returns steady throughput + telemetry."""
@@ -369,9 +396,14 @@ def run_phase(spark, level_execs: int) -> dict:
                              l0_groups=L0_GROUPS,
                              auto_compact_deltas=COMPACT_AT,
                              max_files_per_trigger=FILES_PER_EPOCH)
+    cpu0 = _cpu_counters()
     t0 = time.monotonic()
     runner.run_available_now(timeout_sec=1800)
     wall = time.monotonic() - t0
+    cpu1 = _cpu_counters()
+    d_total = max(cpu1[2] - cpu0[2], 1)
+    steal_frac = round((cpu1[0] - cpu0[0]) / d_total, 5)
+    iowait_frac = round((cpu1[1] - cpu0[1]) / d_total, 5)
     batch_secs = [m.duration_sec for m in runner.metrics
                   if not m.skipped_fence]
     steady_secs = batch_secs[1:]
@@ -385,6 +417,8 @@ def run_phase(spark, level_execs: int) -> dict:
         "wall_sec": round(wall, 3),
         "batch_secs": [round(s, 3) for s in batch_secs],
         "steady_events_per_sec": round(steady, 1),
+        "steal_frac": steal_frac,
+        "iowait_frac": iowait_frac,
         "rows_matched": match["total"],
         # per-batch phase decomposition (plan/write/harvest/fsync/compact)
         # + the streaming wrapper's durationMs — makes every pair carry the
@@ -414,8 +448,14 @@ def _score(pool: list[dict]) -> dict:
         p["valid"] = (p["stationary"] and p["p1"]["execs_stable"]
                       and p["p4"]["execs_stable"])
         p["quiet"] = min(gp) >= QUIET_GBPS
+        # supplementary in-phase instrument (pairs that recorded it only):
+        # both phases lost <= 1% of worker-core jiffies to hypervisor steal
+        sf = [p[k].get("steal_frac") for k in ("p1", "p4")]
+        p["steal_quiet"] = (None if any(s is None for s in sf)
+                            else max(sf) <= 0.01)
     valid = [p for p in pool if p["valid"]]
     quiet = [p for p in valid if p["quiet"]]
+    steal_q = [p for p in valid if p["steal_quiet"]]
 
     def med(ps):
         return round(statistics.median([p["eff"] for p in ps]), 3) if ps \
@@ -423,7 +463,9 @@ def _score(pool: list[dict]) -> dict:
 
     return {"n_pairs": len(pool), "n_valid": len(valid),
             "n_quiet": len(quiet), "median_all": med(pool),
-            "median_valid": med(valid), "median_quiet": med(quiet)}
+            "median_valid": med(valid), "median_quiet": med(quiet),
+            "n_steal_quiet": len(steal_q),
+            "median_steal_quiet": med(steal_q)}
 
 
 def write_report() -> dict:
@@ -495,7 +537,16 @@ def write_report() -> dict:
         f"max/min of the three gap probes <= {VALID_BAND} and the executor "
         f"count was stable over both phases. QUIET = all gaps >= "
         f"{QUIET_GBPS} GB/s (near-idle band; host idle ceiling ~16), "
-        "reported as the secondary quiet-substrate cut.",
+        "reported as the secondary quiet-substrate cut. Pairs measured "
+        "from r4i onward additionally record a passive IN-PHASE "
+        "instrument: the /proc/stat hypervisor-steal fraction of the 16 "
+        "worker cores over each phase (the gap probes bound the ambient "
+        "state around a phase but are blind to a co-tenant burst landing "
+        "inside one — the term the round-4 plateau analysis attributes "
+        "the residual pair spread to). STEAL-QUIET = both phases <= 1% "
+        "steal, pre-registered before the first recording campaign ran, "
+        "reported as a supplementary cut alongside (never replacing) the "
+        "primary rule.",
         "",
         f"Engine generation(s) `{','.join(gens)}`: {len(pool)} pairs "
         f"measured across {len(configs)} operating point(s); {n_errors} "
@@ -523,16 +574,23 @@ def write_report() -> dict:
             f"{s['n_pairs']} measured; BASELINE.json target >= 0.8). "
             f"Median over ALL pairs {s['median_all']}; median over "
             f"valid&quiet pairs {s['median_quiet']} "
-            f"({s['n_quiet']} pairs).",
+            f"({s['n_quiet']} pairs); median over valid&steal-quiet pairs "
+            f"{s['median_steal_quiet']} ({s['n_steal_quiet']} pairs — "
+            "supplementary in-phase /proc/stat instrument, pre-registered "
+            "before r4i, recorded by r4i+ pairs only: both phases lost "
+            "<= 1% of worker-core jiffies to hypervisor steal).",
             "",
-            "| # | order | gap probes GB/s | steady ev/s @1 "
+            "| # | order | gap probes GB/s | steal %@1/@4 | steady ev/s @1 "
             "| steady ev/s @4 | eff | valid | quiet |",
-            "|---|---|---|---|---|---|---|---|",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for i, p in enumerate(cfg_pool):
             gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
+            sf = [p[k].get("steal_frac") for k in ("p1", "p4")]
+            steal = ("-" if any(s is None for s in sf)
+                     else "/".join(f"{100 * s:.2f}" for s in sf))
             lines.append(
-                f"| {i} | {p['order']} | {gp} "
+                f"| {i} | {p['order']} | {gp} | {steal} "
                 f"| {p['p1']['steady_events_per_sec']:,.0f} "
                 f"| {p['p4']['steady_events_per_sec']:,.0f} "
                 f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
