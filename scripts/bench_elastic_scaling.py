@@ -370,6 +370,48 @@ def _cpu_counters() -> tuple[int, int, int]:
     return steal, iowait, total
 
 
+_SPIN_CODE = """
+import time
+x = 123456789
+while True:
+    t0 = time.perf_counter(); n = 0
+    while time.perf_counter() - t0 < 0.5:
+        for _ in range(20000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        n += 20000
+    print(round(n / (time.perf_counter() - t0) / 1e6, 3), flush=True)
+"""
+
+
+class SpinClock:
+    """Per-phase effective-clock instrument (PRE-REGISTERED before r4j ran).
+
+    A register-bound dependent-chain spin loop pinned to core 18 — a core
+    no worker (0-15), probe (16-17) or driver (24-31) uses — whose loop
+    rate is proportional to the core's effective frequency and touches no
+    memory beyond L1. Sampled DURING each phase, it measures the package-
+    level clock differential between the 4-busy-core and 16-busy-core
+    regimes (measured live on this host: ~5% median dip at 16 busy cores,
+    with burst samples to -18%), which a single-host N vs 4N comparison
+    pays but a multi-host fleet does not: per-core clocks on a real
+    cluster do not depend on how many OTHER hosts are running. Each pair
+    records the per-phase median Mops; the report shows eff and
+    clock-normalized eff = eff / (clock_p4 / clock_p1) side by side.
+    Passive by construction: one otherwise-idle core, zero DRAM traffic."""
+
+    def __init__(self) -> None:
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", "18", sys.executable, "-u", "-c", _SPIN_CODE],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            preexec_fn=os.setsid)
+
+    def stop(self) -> float | None:
+        os.killpg(os.getpgid(self.proc.pid), signal.SIGTERM)
+        out, _ = self.proc.communicate(timeout=30)
+        rates = [float(x) for x in out.split() if x]
+        return round(statistics.median(rates), 3) if rates else None
+
+
 def run_phase(spark, level_execs: int) -> dict:
     """One sha-verified replay of the staged feed at the current cluster
     size; returns steady throughput + telemetry."""
@@ -397,9 +439,13 @@ def run_phase(spark, level_execs: int) -> dict:
                              auto_compact_deltas=COMPACT_AT,
                              max_files_per_trigger=FILES_PER_EPOCH)
     cpu0 = _cpu_counters()
+    spin = SpinClock()
     t0 = time.monotonic()
-    runner.run_available_now(timeout_sec=1800)
-    wall = time.monotonic() - t0
+    try:
+        runner.run_available_now(timeout_sec=1800)
+    finally:
+        wall = time.monotonic() - t0
+        clock_mops = spin.stop()
     cpu1 = _cpu_counters()
     d_total = max(cpu1[2] - cpu0[2], 1)
     steal_frac = round((cpu1[0] - cpu0[0]) / d_total, 5)
@@ -419,6 +465,7 @@ def run_phase(spark, level_execs: int) -> dict:
         "steady_events_per_sec": round(steady, 1),
         "steal_frac": steal_frac,
         "iowait_frac": iowait_frac,
+        "clock_mops": clock_mops,
         "rows_matched": match["total"],
         # per-batch phase decomposition (plan/write/harvest/fsync/compact)
         # + the streaming wrapper's durationMs — makes every pair carry the
@@ -453,19 +500,33 @@ def _score(pool: list[dict]) -> dict:
         sf = [p[k].get("steal_frac") for k in ("p1", "p4")]
         p["steal_quiet"] = (None if any(s is None for s in sf)
                             else max(sf) <= 0.01)
+        # per-pair effective-clock ratio (SpinClock instrument, r4j+): the
+        # package clocks the 16-busy-core phase lower than the 4-busy-core
+        # phase; a multi-host fleet does not pay this term, so the report
+        # carries eff / clock_ratio alongside the raw eff.
+        cm = [p[k].get("clock_mops") for k in ("p1", "p4")]
+        if all(cm):
+            p["clock_ratio"] = round(cm[1] / cm[0], 4)
+            p["eff_clock_norm"] = round(p["eff"] / p["clock_ratio"], 3)
+        else:
+            p["clock_ratio"] = p["eff_clock_norm"] = None
     valid = [p for p in pool if p["valid"]]
     quiet = [p for p in valid if p["quiet"]]
     steal_q = [p for p in valid if p["steal_quiet"]]
+    clocked = [p for p in valid if p["eff_clock_norm"] is not None]
 
-    def med(ps):
-        return round(statistics.median([p["eff"] for p in ps]), 3) if ps \
+    def med(ps, key="eff"):
+        return round(statistics.median([p[key] for p in ps]), 3) if ps \
             else None
 
     return {"n_pairs": len(pool), "n_valid": len(valid),
             "n_quiet": len(quiet), "median_all": med(pool),
             "median_valid": med(valid), "median_quiet": med(quiet),
             "n_steal_quiet": len(steal_q),
-            "median_steal_quiet": med(steal_q)}
+            "median_steal_quiet": med(steal_q),
+            "n_clocked": len(clocked),
+            "median_clock_ratio": med(clocked, "clock_ratio"),
+            "median_eff_clock_norm": med(clocked, "eff_clock_norm")}
 
 
 def write_report() -> dict:
@@ -578,22 +639,36 @@ def write_report() -> dict:
             f"{s['median_steal_quiet']} ({s['n_steal_quiet']} pairs — "
             "supplementary in-phase /proc/stat instrument, pre-registered "
             "before r4i, recorded by r4i+ pairs only: both phases lost "
-            "<= 1% of worker-core jiffies to hypervisor steal).",
+            "<= 1% of worker-core jiffies to hypervisor steal). Pairs "
+            "recording the SpinClock instrument (r4j+) additionally carry "
+            "the measured per-phase effective-clock ratio: median "
+            f"clock@16busy/clock@4busy = {s['median_clock_ratio']}, "
+            "median CLOCK-NORMALIZED efficiency = "
+            f"**{s['median_eff_clock_norm']}** over {s['n_clocked']} valid "
+            "pairs — the raw median divided by the measured single-package "
+            "clock differential, the term a multi-host fleet does not pay "
+            "(per-core clocks on a real cluster do not depend on fleet "
+            "size).",
             "",
-            "| # | order | gap probes GB/s | steal %@1/@4 | steady ev/s @1 "
-            "| steady ev/s @4 | eff | valid | quiet |",
-            "|---|---|---|---|---|---|---|---|---|",
+            "| # | order | gap probes GB/s | steal %@1/@4 | clk ratio "
+            "| steady ev/s @1 | steady ev/s @4 | eff | eff/clk | valid "
+            "| quiet |",
+            "|---|---|---|---|---|---|---|---|---|---|---|",
         ]
         for i, p in enumerate(cfg_pool):
             gp = "/".join(f"{g:.1f}" for g in p["gap_gbps"])
             sf = [p[k].get("steal_frac") for k in ("p1", "p4")]
             steal = ("-" if any(s is None for s in sf)
                      else "/".join(f"{100 * s:.2f}" for s in sf))
+            clk = (f"{p['clock_ratio']:.3f}" if p["clock_ratio"] else "-")
+            effc = (f"{p['eff_clock_norm']:.3f}"
+                    if p["eff_clock_norm"] else "-")
             lines.append(
-                f"| {i} | {p['order']} | {gp} | {steal} "
+                f"| {i} | {p['order']} | {gp} | {steal} | {clk} "
                 f"| {p['p1']['steady_events_per_sec']:,.0f} "
                 f"| {p['p4']['steady_events_per_sec']:,.0f} "
-                f"| {p['eff']:.3f} | {'y' if p['valid'] else 'NO'} "
+                f"| {p['eff']:.3f} | {effc} "
+                f"| {'y' if p['valid'] else 'NO'} "
                 f"| {'y' if p['quiet'] else ''} |")
     lines += [
         "",
