@@ -97,9 +97,14 @@ _SILVER_SCHEMA = T.StructType([
 
 
 def _run_cdc_engine(spark: SparkSession, sf_dir: str,
-                    num_buckets: int = 8) -> DataFrame:
+                    num_buckets: int = 8, mode: str = "cow",
+                    **merge_kwargs) -> DataFrame:
     """Run the REAL engine (LakeTable + merge_cdc_batch, one micro-batch per
-    epoch) on the derived feed and return the final silver state."""
+    epoch) on the derived feed and return the final silver state.
+
+    ``mode`` selects the write strategy under test: "cow" exercises the
+    read-optimized copy-on-write path; "raw" exercises the LSM append path
+    that is `CdcStreamRunner`'s shipped ingest default (runner.py:60)."""
     events = _cdc_events_from_documents(spark, sf_dir).cache()
     loc = tempfile.mkdtemp(prefix="cdc_entry_", dir="/tmp")
     shutil.rmtree(loc, ignore_errors=True)
@@ -107,7 +112,8 @@ def _run_cdc_engine(spark: SparkSession, sf_dir: str,
                              key_cols=["repo", "path"], num_buckets=num_buckets)
     for epoch in range(3):
         merge_cdc_batch(table, events.filter(F.col("epoch") == epoch),
-                        batch_id=epoch, txn_app="entry", salt_buckets=4)
+                        batch_id=epoch, txn_app="entry", salt_buckets=4,
+                        mode=mode, **merge_kwargs)
     events.unpersist()
     final = table.read()
     return final.select(
@@ -134,6 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_merge_apply(spark, sf):
         return _run_cdc_engine(spark, sf)
     q["cdc_merge_apply"] = cdc_merge_apply
+
+    def cdc_merge_apply_raw(spark, sf):
+        # The SHIPPED ingest default (CdcStreamRunner: mode="raw", adaptive
+        # bucket-clustered L0, prefilter at the raw-mode engine default)
+        # against the same LWW oracle — the raw/LSM write path must read
+        # back identically to cow (VERDICT r4 "What's missing" #3).
+        return _run_cdc_engine(spark, sf, mode="raw", l0_groups="auto")
+    q["cdc_merge_apply_raw"] = cdc_merge_apply_raw
 
     def cdc_lww_replay_oracle_op(spark, sf):
         # the operator-level LWW collapse (no engine) — W1
@@ -581,6 +595,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT repo, path, lang, sha256(content) AS content_sha
         FROM w WHERE rn = 1 AND op <> 'D'
     """
+
+    # identical final state regardless of write strategy: the raw/LSM path
+    # resolves LWW at read time, so the same oracle applies verbatim
+    o["cdc_merge_apply_raw"] = o["cdc_merge_apply"]
 
     o["cdc_lww_collapse"] = f"""
         WITH ev AS ({_CDC_EVENTS_SQL}),

@@ -584,6 +584,17 @@ def merge_cdc_batch(
     silently break; pass ``prefilter=True`` explicitly to trade that
     history for ~r× less L0 write volume.
 
+    Default-mode note: this function defaults to ``mode="cow"`` while
+    :class:`~etl_api_bigquery_spark.streaming.runner.CdcStreamRunner`
+    defaults to ``mode="raw"`` — deliberately. A direct ``merge_cdc_batch``
+    call is the library/batch API (one-shot backfills, tests, oracle
+    queries), where the read-optimized copy-on-write result is the least
+    surprising default; the runner is the sustained-ingest pipeline, where
+    the zero-shuffle LSM append is the right production default (raw wins
+    ~25-30% at 24M-event batches and, since round 5's clean bench, also at
+    1M-event micro-batches — see BENCH/BASELINE.md). Pass ``mode``
+    explicitly when benchmarking either path.
+
     Write strategies (both yield identical read results):
 
     * ``mode="cow"`` — copy-on-write: rewrite the touched buckets' files with

@@ -519,14 +519,29 @@ def _score(pool: list[dict]) -> dict:
         return round(statistics.median([p[key] for p in ps]), 3) if ps \
             else None
 
+    med_valid = med(valid)
+    med_ratio = med(clocked, "clock_ratio")
+    ratios = sorted(p["clock_ratio"] for p in clocked)
+    # noise-robust clock normalization (ADVICE r4 #3): the per-pair spin
+    # probe also picks up transient co-tenant noise (observed ratios up to
+    # >1), so dividing each pair by its OWN ratio injects that noise into
+    # eff/clk; dividing the raw median by the CAMPAIGN-median ratio keeps
+    # only the systematic package-clock term.
+    robust = (round(med_valid / med_ratio, 3)
+              if med_valid is not None and med_ratio else None)
     return {"n_pairs": len(pool), "n_valid": len(valid),
             "n_quiet": len(quiet), "median_all": med(pool),
-            "median_valid": med(valid), "median_quiet": med(quiet),
+            "median_valid": med_valid, "median_quiet": med(quiet),
+            "n_steal_recorded": sum(p["steal_quiet"] is not None
+                                    for p in valid),
             "n_steal_quiet": len(steal_q),
             "median_steal_quiet": med(steal_q),
             "n_clocked": len(clocked),
-            "median_clock_ratio": med(clocked, "clock_ratio"),
-            "median_eff_clock_norm": med(clocked, "eff_clock_norm")}
+            "median_clock_ratio": med_ratio,
+            "clock_ratio_min": ratios[0] if ratios else None,
+            "clock_ratio_max": ratios[-1] if ratios else None,
+            "median_eff_clock_norm": med(clocked, "eff_clock_norm"),
+            "median_eff_robust_norm": robust}
 
 
 def write_report() -> dict:
@@ -624,31 +639,49 @@ def write_report() -> dict:
         kgen, mode, batch_events, l0g = key
         s = scored[key]
         cfg_pool = configs[key]
+        para = (
+            f"**Median pair efficiency over VALID pairs = "
+            f"{s['median_valid']}** ({s['n_valid']} valid of "
+            f"{s['n_pairs']} measured; BASELINE.json target >= 0.8). "
+            f"Median over ALL pairs {s['median_all']}; median over "
+            f"valid&quiet pairs {s['median_quiet']} "
+            f"({s['n_quiet']} pairs).")
+        # instrument sentences only for campaigns whose pairs recorded
+        # them — pre-instrument campaigns otherwise render None/0
+        # boilerplate (ADVICE r4 #2)
+        if s["n_steal_recorded"]:
+            para += (
+                f" Median over valid&steal-quiet pairs "
+                f"{s['median_steal_quiet']} ({s['n_steal_quiet']} of "
+                f"{s['n_steal_recorded']} recording pairs — supplementary "
+                "in-phase /proc/stat instrument, pre-registered before "
+                "r4i: both phases lost <= 1% of worker-core jiffies to "
+                "hypervisor steal).")
+        if s["n_clocked"]:
+            para += (
+                " Pairs recording the SpinClock instrument (r4j+) "
+                "additionally carry the measured per-phase "
+                "effective-clock ratio: median clock@16busy/clock@4busy "
+                f"= {s['median_clock_ratio']} (per-pair spread "
+                f"{s['clock_ratio_min']}-{s['clock_ratio_max']} — the "
+                "probe also picks up transient co-tenant noise, so the "
+                "per-pair ratio is itself noisy), median CLOCK-NORMALIZED "
+                f"efficiency = **{s['median_eff_clock_norm']}** over "
+                f"{s['n_clocked']} valid pairs — the median over valid "
+                "pairs of each pair's efficiency divided by its own "
+                "measured clock ratio, removing only the single-package "
+                "clock differential, the term a multi-host fleet does not "
+                "pay (per-core clocks on a real cluster do not depend on "
+                "fleet size). Noise-robust variant (raw median / "
+                f"campaign-median ratio) = {s['median_eff_robust_norm']}; "
+                "the raw median stays the number of record.")
         lines += [
             "",
             f"## {kgen}: {mode} mode, "
             f"{batch_events / 1_000_000:g}M events/batch, "
             f"l0_groups={l0g}",
             "",
-            f"**Median pair efficiency over VALID pairs = "
-            f"{s['median_valid']}** ({s['n_valid']} valid of "
-            f"{s['n_pairs']} measured; BASELINE.json target >= 0.8). "
-            f"Median over ALL pairs {s['median_all']}; median over "
-            f"valid&quiet pairs {s['median_quiet']} "
-            f"({s['n_quiet']} pairs); median over valid&steal-quiet pairs "
-            f"{s['median_steal_quiet']} ({s['n_steal_quiet']} pairs — "
-            "supplementary in-phase /proc/stat instrument, pre-registered "
-            "before r4i, recorded by r4i+ pairs only: both phases lost "
-            "<= 1% of worker-core jiffies to hypervisor steal). Pairs "
-            "recording the SpinClock instrument (r4j+) additionally carry "
-            "the measured per-phase effective-clock ratio: median "
-            f"clock@16busy/clock@4busy = {s['median_clock_ratio']}, "
-            "median CLOCK-NORMALIZED efficiency = "
-            f"**{s['median_eff_clock_norm']}** over {s['n_clocked']} valid "
-            "pairs — the raw median divided by the measured single-package "
-            "clock differential, the term a multi-host fleet does not pay "
-            "(per-core clocks on a real cluster do not depend on fleet "
-            "size).",
+            para,
             "",
             "| # | order | gap probes GB/s | steal %@1/@4 | clk ratio "
             "| steady ev/s @1 | steady ev/s @4 | eff | eff/clk | valid "
