@@ -35,8 +35,6 @@ def customer_lifetime_value(orders: DataFrame, customers: DataFrame,
 
 def product_sales_metrics(lineitem: DataFrame, part: DataFrame,
                           keep_exact: bool = False) -> DataFrame:
-    j = lineitem.join(F.broadcast(part),
-                      lineitem["l_partkey"] == part["p_partkey"])
     # money arithmetic fully in DECIMAL: the inputs are nominally-2dp doubles,
     # so quantize EXPLICITLY in the double domain (round to 2) BEFORE the
     # decimal cast — double->decimal cast-rounding is engine-specific
@@ -66,13 +64,25 @@ def product_sales_metrics(lineitem: DataFrame, part: DataFrame,
     # 100 TB. The chunks recombine into an exact decimal(38,4) after the
     # aggregation (20k groups, not 10^10 rows), so the final value is
     # bit-identical to the all-decimal form at ~2x the aggregation speed.
+    # Aggregate BEFORE the dimension join (round-5): group the fact table by
+    # the bare join key, then broadcast-join `part` onto the ~|part| grouped
+    # rows for the descriptive columns. Join-then-aggregate probed the
+    # broadcast hash for every fact row and dragged the p_name/p_brand
+    # strings through the whole aggregation as group-key payload;
+    # aggregate-then-join probes once per GROUP and keeps the hash-agg key a
+    # single long. Same result under any input (a fact row without a
+    # matching part is dropped by the inner join either way — it just gets
+    # dropped as a group instead of as rows), and the classic plan shape a
+    # 100 TB fact x 100 GB dim join wants.
     mask = F.lit((1 << 22) - 1)
-    agg = (j.groupBy("p_partkey", "p_name", "p_brand")
+    agg = (lineitem.groupBy("l_partkey")
            .agg(F.sum(rev.bitwiseAND(mask)).alias("_s_lo"),
                 F.sum(F.shiftright(rev, 22).bitwiseAND(mask)).alias("_s_mid"),
                 F.sum(F.shiftright(rev, 44)).alias("_s_hi"),
                 F.round(F.sum("l_quantity"), 2).alias("units_sold"),
-                F.count("*").alias("n_lines")))
+                F.count("*").alias("n_lines"))
+           .join(F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+                 F.col("l_partkey") == F.col("p_partkey")))
     # Recombine: exact integer total in 1e-4 units -> decimal(38,4). The
     # division by 10^4 is exact (result scale >= 4), so decimal->double is a
     # single deterministic rounding any engine performs identically — this
@@ -111,9 +121,12 @@ def product_summary(metrics: DataFrame) -> DataFrame:
 
 
 def inventory_analytics(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
-    j = lineitem.join(F.broadcast(supplier),
-                      lineitem["l_suppkey"] == supplier["s_suppkey"])
-    return (j.groupBy("s_suppkey", "s_name")
+    # aggregate-then-join, same rationale as product_sales_metrics
+    return (lineitem.groupBy("l_suppkey")
             .agg(F.round(F.sum("l_quantity"), 2).alias("units_shipped"),
                  F.count_distinct("l_partkey").alias("distinct_parts"),
-                 F.count("*").alias("n_lines")))
+                 F.count("*").alias("n_lines"))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "units_shipped",
+                    "distinct_parts", "n_lines"))

@@ -63,6 +63,20 @@ substrate, while tt_eff isolates "did the engine create 4x-parallel work
 without inflating it" — the component the engine controls. Both are
 reported; raw eff stays the number of record.
 
+v3.1 refinement (after a 5-pair pilot, disclosed in the pool as
+`r5a-pilot`, scored separately and not pooled with the campaign): the pilot
+showed a systematic ~0.12 order split — (1->4)-order pairs ran the timed
+4-executor merge on three freshly started executor JVMs whose only warmup
+was the small v2 warmup merge in *mor* mode, i.e. the campaign's raw-mode
+codegen/broadcast path was cold exactly when the order put the wide level
+second. Fix (protocol-symmetry, not engine change — the same class of fix
+as v2's untimed JIT warmup and warm-feed re-pin): after every scale-up the
+untimed warmup merge now runs IN THE CAMPAIGN'S OWN mode/prefilter/L0
+configuration, so every timed merge at either level starts from an
+equally-warmed JVM set. Additionally the end-of-cycle sha verification runs
+after scaling back to 4 executors (it was silently serializing ~30 s at 1
+executor in (4->1) cycles; it is untimed either way).
+
 Usage:
   python scripts/bench_alternation_scaling.py [max_cycles]
   python scripts/bench_alternation_scaling.py --report-only
@@ -143,6 +157,31 @@ def task_seconds_since(seen: set[int]) -> float | None:
 
 
 # ------------------------------------------------------------------ merge
+def campaign_warmup(spark) -> None:
+    """Untimed JIT/codegen warmup in the CAMPAIGN configuration (v3.1):
+    a 2M-event merge with the campaign's own mode/prefilter/L0 settings
+    into a scratch table, so freshly scaled-up executors have executed the
+    exact timed code path (raw append + winner-token broadcast) before a
+    timed merge — not just the v2 warmup's mor path."""
+    import shutil as _sh
+    from pyspark.sql import types as T
+    from etl_api_bigquery_spark.cdc import change_feed
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    wdir = f"{ev2.WORK}/alt_warmup"
+    _sh.rmtree(wdir, ignore_errors=True)
+    wtab = LakeTable.create(spark, wdir, schema, key_cols=["repo", "path"],
+                            num_buckets=ev2.NUM_BUCKETS)
+    merge_cdc_batch(wtab, change_feed(spark, n_events=2_000_000,
+                                      n_keys=200_000, n_epochs=1),
+                    batch_id=0, txn_app="alt-warm", salt_buckets=8,
+                    mode=ev2.MODE, prefilter=ev2.PREFILTER,
+                    prefilter_strategy=ev2.PREFILTER_STRATEGY,
+                    l0_groups=ev2.L0_GROUPS, auto_compact_deltas=10 ** 9)
+
+
 def timed_merge(spark, table, epoch: int, batch_id: int,
                 level_execs: int) -> dict:
     """One instrumented merge_cdc_batch of a staged epoch at the current
@@ -216,7 +255,23 @@ def _score(pool: list[dict]) -> dict:
 
     med_valid = med(valid)
     med_ratio = med(valid, "clock_ratio")
+    # Pearson correlation of pair efficiency against the pair's measured
+    # in-phase clock ratio: if the efficiency loss is the substrate's
+    # (package clock / hypervisor co-scheduling), eff should TRACK the
+    # clock instrument pair-by-pair; an engine-serial loss would not.
+    cpairs = [(p["eff"], p["clock_ratio"]) for p in valid
+              if p["clock_ratio"] is not None]
+    corr = None
+    if len(cpairs) >= 4:
+        xs, ys = [c[1] for c in cpairs], [c[0] for c in cpairs]
+        mx, my = statistics.mean(xs), statistics.mean(ys)
+        sx = (sum((x - mx) ** 2 for x in xs)) ** 0.5
+        sy = (sum((y - my) ** 2 for y in ys)) ** 0.5
+        if sx > 0 and sy > 0:
+            corr = round(sum((x - mx) * (y - my) for x, y in
+                             zip(xs, ys)) / (sx * sy), 3)
     return {"n_pairs": len(pool), "n_valid": len(valid),
+            "corr_eff_clock": corr,
             "n_quiet": len([p for p in valid if p["quiet"]]),
             "median_all": med(pool), "median_valid": med_valid,
             "median_quiet": med([p for p in valid if p["quiet"]]),
@@ -290,7 +345,11 @@ def write_report() -> dict:
             f"Clock: median ratio {s['median_clock_ratio']}, "
             f"clock-normalized median {s['median_eff_clock_norm']} "
             f"(per-pair), noise-robust {s['median_eff_robust_norm']} "
-            "(raw median / campaign-median ratio). "
+            "(raw median / campaign-median ratio); Pearson corr of pair "
+            f"eff against its own in-phase clock ratio: "
+            f"**{s['corr_eff_clock']}** (a substrate-attributed loss "
+            "tracks the clock instrument pair-by-pair; an engine-serial "
+            "loss would not). "
             f"**Task-time efficiency: median {s['median_tt_eff']}** over "
             f"{s['n_tt']} valid pairs (task-seconds per 24M-event merge: "
             f"median {s['median_task_s_p1']} s @1 exec vs "
@@ -367,7 +426,7 @@ def main() -> None:
             if n == 4 and not extra_workers:
                 extra_workers = [ev2.start_worker(i) for i in (1, 2, 3)]
                 ev2.wait_execs(spark, 4)
-                ev2.warmup_merge(spark)
+                campaign_warmup(spark)   # v3.1: warm the TIMED code path
             elif n == 1 and extra_workers:
                 for p in extra_workers:
                     ev2.kill(p)
@@ -423,6 +482,9 @@ def main() -> None:
                     spark, table, epoch=2, batch_id=2,
                     level_execs=order[1])
                 rec["gap_gbps"].append(ev2.probe_gbps())
+                # untimed verification at full width (v3.1 — at 1 executor
+                # it silently serialized ~30 s per (4->1) cycle)
+                scale_to(4)
                 match = assert_replay_match(
                     table.read(), spark.read.parquet(EXPECTED3))
                 rec["rows_matched"] = match["total"]
