@@ -69,7 +69,16 @@ def change_feed(
     * content: 64–512 chars of hex tokens derived from (key, lsn) — enough
       entropy that sha256(content) is a meaningful per-row invariant.
     """
-    df = spark.range(0, n_events, 1).withColumnRenamed("id", "lsn")
+    # Over-partition the lsn range: epochs are CONTIGUOUS lsn slices, so with
+    # only defaultParallelism range partitions an `epoch == k` filter (e.g.
+    # write_feed_as_epoch_files staging one epoch at a time) collapses to a
+    # single task on a narrow driver — one partition holds the whole epoch.
+    # Generation is pure column expressions, so extra splits are free, and
+    # values are partitioning-independent (everything derives from lsn).
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  min(128, 1 + n_events // 500_000))
+    df = (spark.range(0, n_events, 1, numPartitions=n_parts)
+          .withColumnRenamed("id", "lsn"))
     s = F.lit(seed)
 
     u_key = _u01(F.col("lsn"), s, F.lit(1))

@@ -77,6 +77,22 @@ equally-warmed JVM set. Additionally the end-of-cycle sha verification runs
 after scaling back to 4 executors (it was silently serializing ~30 s at 1
 executor in (4->1) cycles; it is untimed either way).
 
+v3.2 refinement (after the full 37-pair r5a campaign, pre-registered before
+the first r5b cycle ran): r5a's per-merge task-second telemetry localized a
+residual ~1.4x CPU inflation to exactly one cell — the 4-executor timed
+merge when it runs SECOND in its cycle (quiet-pair task-seconds 99-105 vs
+71-74 when it runs first), while the 1-executor merge costs the same
+task-seconds in either position (65-68). The asymmetry's mechanism: a
+scale-UP starts three fresh executor JVMs whose v3.1 warmup was only
+2M events (~125k events/core at 16 cores — far below C2/JIT steady state),
+while a scale-DOWN keeps worker 0's already-hot executor. A warm-JVM
+asymmetry is protocol, not engine. Fix: the untimed in-mode warmup now runs
+before EVERY timed merge at BOTH levels and is sized per active core
+(1.5M events/core: 24M at 4 executors, 6M at 1 — the same events/core the
+timed merge itself applies), generated with n_epochs=2 so the warmup
+exercises the upsert/LWW regime the timed merges run in. Scoring, validity
+rules and all supplementary cuts are unchanged from v3/v3.1.
+
 Usage:
   python scripts/bench_alternation_scaling.py [max_cycles]
   python scripts/bench_alternation_scaling.py --report-only
@@ -157,12 +173,16 @@ def task_seconds_since(seen: set[int]) -> float | None:
 
 
 # ------------------------------------------------------------------ merge
-def campaign_warmup(spark) -> None:
-    """Untimed JIT/codegen warmup in the CAMPAIGN configuration (v3.1):
-    a 2M-event merge with the campaign's own mode/prefilter/L0 settings
-    into a scratch table, so freshly scaled-up executors have executed the
-    exact timed code path (raw append + winner-token broadcast) before a
-    timed merge — not just the v2 warmup's mor path."""
+def campaign_warmup(spark, level_execs: int = 4) -> None:
+    """Untimed JIT/codegen warmup in the CAMPAIGN configuration.
+
+    v3.1 ran a fixed 2M-event merge after scale-ups only; r5a telemetry
+    showed that leaves freshly started executors ~1.4x CPU-inflated for
+    their first full-size merge (see module docstring, v3.2). Now sized
+    per active core (1.5M events/core — the same events/core as a timed
+    merge) and run before every timed merge at both levels, with
+    n_epochs=2 so the upsert/LWW path (not just the insert path) is hot.
+    """
     import shutil as _sh
     from pyspark.sql import types as T
     from etl_api_bigquery_spark.cdc import change_feed
@@ -170,12 +190,13 @@ def campaign_warmup(spark) -> None:
     from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
     schema = T.StructType([T.StructField(c, T.StringType()) for c in
                            ("repo", "path", "commit", "lang", "content")])
+    n_ev = 1_500_000 * ev2.EXEC_CORES * level_execs
     wdir = f"{ev2.WORK}/alt_warmup"
     _sh.rmtree(wdir, ignore_errors=True)
     wtab = LakeTable.create(spark, wdir, schema, key_cols=["repo", "path"],
                             num_buckets=ev2.NUM_BUCKETS)
-    merge_cdc_batch(wtab, change_feed(spark, n_events=2_000_000,
-                                      n_keys=200_000, n_epochs=1),
+    merge_cdc_batch(wtab, change_feed(spark, n_events=n_ev,
+                                      n_keys=n_ev // 10, n_epochs=2),
                     batch_id=0, txn_app="alt-warm", salt_buckets=8,
                     mode=ev2.MODE, prefilter=ev2.PREFILTER,
                     prefilter_strategy=ev2.PREFILTER_STRATEGY,
@@ -187,7 +208,8 @@ def timed_merge(spark, table, epoch: int, batch_id: int,
     """One instrumented merge_cdc_batch of a staged epoch at the current
     cluster size — the timed unit of a pair."""
     from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
-    spark.conf.set("spark.sql.shuffle.partitions", str(4 * level_execs))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(ev2.EXEC_CORES * level_execs))
     for k, v in ev2.SQLCONF.items():
         spark.conf.set(k, v)
     events = spark.read.parquet(*epoch_files(epoch))
@@ -404,15 +426,24 @@ def main() -> None:
         procs.append(ev2.start_worker(0))
         time.sleep(6)
         spark = get_spark(app_name="alternation-scaling",
-                          master=ev2.MASTER_URL, shuffle_partitions=16,
-                          extra_conf={"spark.cores.max": "16",
-                                      "spark.executor.cores": "4",
+                          master=ev2.MASTER_URL,
+                          shuffle_partitions=4 * ev2.EXEC_CORES,
+                          extra_conf={"spark.cores.max":
+                                      str(4 * ev2.EXEC_CORES),
+                                      "spark.executor.cores":
+                                      str(ev2.EXEC_CORES),
                                       "spark.executor.memory": "8g",
                                       "spark.ui.enabled": "true",
                                       "spark.ui.port": str(UI_PORT),
                                       **ev2.APPCONF})
         spark.sparkContext.setLogLevel("ERROR")
         ev2.wait_execs(spark, 1)
+        # Stage at FULL width (untimed): generation+write of the ~23 GB feed
+        # is embarrassingly parallel; at 1 executor it serializes ~4x and
+        # with the old defaultParallelism range split each epoch filter
+        # collapsed to a single task (~12 min/epoch).
+        extra_workers = [ev2.start_worker(i) for i in (1, 2, 3)]
+        ev2.wait_execs(spark, 4)
         ev2.warmup_merge(spark)
         ev2.stage_inputs(spark)
         stage_expected3(spark)
@@ -426,7 +457,6 @@ def main() -> None:
             if n == 4 and not extra_workers:
                 extra_workers = [ev2.start_worker(i) for i in (1, 2, 3)]
                 ev2.wait_execs(spark, 4)
-                campaign_warmup(spark)   # v3.1: warm the TIMED code path
             elif n == 1 and extra_workers:
                 for p in extra_workers:
                     ev2.kill(p)
@@ -436,7 +466,7 @@ def main() -> None:
         cycle = 0
         while cycle < max_cycles and time.monotonic() - t_start < budget_sec:
             order = (1, 4) if cycle % 2 == 0 else (4, 1)
-            rec: dict = {"protocol": "alternation_v3",
+            rec: dict = {"protocol": "alternation_v3.2",
                          "engine": os.environ.get("ENGINE_GEN", "r5"),
                          "num_buckets": ev2.NUM_BUCKETS, "mode": ev2.MODE,
                          "n_events": ev2.N_EVENTS,
@@ -461,7 +491,8 @@ def main() -> None:
                                          num_buckets=ev2.NUM_BUCKETS)
                 # untimed seed: epoch 0 (insert regime) at 4 executors
                 scale_to(4)
-                spark.conf.set("spark.sql.shuffle.partitions", "16")
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(4 * ev2.EXEC_CORES))
                 from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
                 merge_cdc_batch(table, spark.read.parquet(*epoch_files(0)),
                                 batch_id=0, txn_app="alt", salt_buckets=8,
@@ -470,12 +501,14 @@ def main() -> None:
                                 l0_groups=ev2.L0_GROUPS,
                                 auto_compact_deltas=10 ** 9)
                 scale_to(order[0])
+                campaign_warmup(spark, order[0])   # v3.2: per-core-scaled
                 ev2.gap_sync()
                 rec["gap_gbps"].append(ev2.probe_gbps())
                 rec[f"p{order[0]}"] = timed_merge(
                     spark, table, epoch=1, batch_id=1,
                     level_execs=order[0])
                 scale_to(order[1])
+                campaign_warmup(spark, order[1])   # v3.2: both levels
                 ev2.gap_sync()
                 rec["gap_gbps"].append(ev2.probe_gbps())
                 rec[f"p{order[1]}"] = timed_merge(

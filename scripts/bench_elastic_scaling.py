@@ -74,7 +74,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
-WORKERS = [(0, "0-3"), (1, "4-7"), (2, "8-11"), (3, "12-15")]
+# Cores per executor/worker. Default 4 (the r3/r4 protocol: 4 workers on
+# core quads, 16 cores at full width). ELASTIC_EXEC_CORES=2 gives the
+# footprint-sensitivity configuration: 4 workers on core PAIRS, 8 cores at
+# full width — same N -> 4N executor ratio, half the package footprint.
+EXEC_CORES = int(os.environ.get("ELASTIC_EXEC_CORES", "4"))
+WORKERS = [(i, f"{i * EXEC_CORES}-{(i + 1) * EXEC_CORES - 1}")
+           for i in range(4)]
 DRIVER_CORES = range(24, 32)          # driver JVM + this script
 PROBE_CORES = "16,17"                 # touched by nothing else in the protocol
 VALID_BAND = 1.35                     # max/min gap-probe ratio (pre-registered)
@@ -194,7 +200,7 @@ def start_worker(i: int) -> subprocess.Popen:
     return spawn(["taskset", "-c", cores,
                   os.path.join(SPARK_HOME, "bin", "spark-class"),
                   "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-                  "--cores", "4", "--memory", "10g",
+                  "--cores", str(EXEC_CORES), "--memory", "10g",
                   "--port", str(42000 + (4 * _worker_gen + i) % 2000),
                   "--webui-port", str(8190 + (4 * _worker_gen + i) % 2000)],
                  env)
@@ -361,7 +367,7 @@ def _cpu_counters() -> tuple[int, int, int]:
         for ln in fh:
             if ln.startswith("cpu") and ln[3].isdigit():
                 core = int(ln.split()[0][3:])
-                if core > 15:        # only the worker cores
+                if core >= 4 * EXEC_CORES:   # only the worker cores
                     continue
                 f = [int(x) for x in ln.split()[1:]]
                 steal += f[7]

@@ -72,3 +72,26 @@ def test_missing_instruments_degrade_gracefully():
     assert s["median_valid"] == 0.8
     assert s["median_eff_clock_norm"] is None
     assert s["median_tt_eff"] is None and s["n_tt"] == 0
+
+
+def test_exec_cores_knob_pins_workers_to_disjoint_ranges():
+    """ELASTIC_EXEC_CORES reshapes the worker core pinning (footprint-
+    sensitivity configuration: 2-core executors -> 8 cores at full width)
+    without overlapping the probe (16,17) or driver (24-31) cores."""
+    import importlib
+    import subprocess
+    import sys as _sys
+    code = (
+        "import os, sys; os.environ['ELASTIC_EXEC_CORES']='2';"
+        "sys.path.insert(0, %r);"
+        "import bench_elastic_scaling as ev2;"
+        "print(ev2.EXEC_CORES, [w[1] for w in ev2.WORKERS])"
+        % os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts"))
+    out = subprocess.run([_sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True).stdout.strip()
+    assert out == "2 ['0-1', '2-3', '4-5', '6-7']"
+    # the default (this process) stays the r3/r4 quad layout
+    importlib.reload(alt)  # no-op guard: module import order unaffected
+    ev2 = sys.modules["bench_elastic_scaling"]
+    assert [w[1] for w in ev2.WORKERS] == ["0-3", "4-7", "8-11", "12-15"]
