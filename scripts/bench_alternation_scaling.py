@@ -142,30 +142,31 @@ def stage_expected3(spark) -> None:
 
 
 # ------------------------------------------------------------- task-time
-def _rest(path: str):
+def _rest(path: str, port: int = UI_PORT):
     with urllib.request.urlopen(
-            f"http://127.0.0.1:{UI_PORT}/api/v1/{path}", timeout=20) as r:
+            f"http://127.0.0.1:{port}/api/v1/{path}", timeout=20) as r:
         return json.loads(r.read())
 
 
-_app_id: str | None = None
+_app_ids: dict[int, str] = {}
 
 
-def stage_watermark() -> set[int]:
+def stage_watermark(port: int = UI_PORT) -> set[int]:
     """Set of stage ids the app has submitted so far (any status)."""
-    global _app_id
     try:
-        if _app_id is None:
-            _app_id = _rest("applications")[0]["id"]
-        return {s["stageId"] for s in _rest(f"applications/{_app_id}/stages")}
+        if port not in _app_ids:
+            _app_ids[port] = _rest("applications", port)[0]["id"]
+        return {s["stageId"]
+                for s in _rest(f"applications/{_app_ids[port]}/stages",
+                               port)}
     except Exception:
         return set()
 
 
-def task_seconds_since(seen: set[int]) -> float | None:
+def task_seconds_since(seen: set[int], port: int = UI_PORT) -> float | None:
     """Executor task run seconds of stages submitted after the watermark."""
     try:
-        stages = _rest(f"applications/{_app_id}/stages")
+        stages = _rest(f"applications/{_app_ids[port]}/stages", port)
         new = [s for s in stages if s["stageId"] not in seen]
         return round(sum(s.get("executorRunTime", 0) for s in new) / 1e3, 2)
     except Exception:
@@ -191,7 +192,7 @@ def campaign_warmup(spark, level_execs: int = 4) -> None:
     schema = T.StructType([T.StructField(c, T.StringType()) for c in
                            ("repo", "path", "commit", "lang", "content")])
     n_ev = 1_500_000 * ev2.EXEC_CORES * level_execs
-    wdir = f"{ev2.WORK}/alt_warmup"
+    wdir = f"{ev2.WORK}/alt_warmup_{level_execs}"
     _sh.rmtree(wdir, ignore_errors=True)
     wtab = LakeTable.create(spark, wdir, schema, key_cols=["repo", "path"],
                             num_buckets=ev2.NUM_BUCKETS)
@@ -204,7 +205,8 @@ def campaign_warmup(spark, level_execs: int = 4) -> None:
 
 
 def timed_merge(spark, table, epoch: int, batch_id: int,
-                level_execs: int) -> dict:
+                level_execs: int, ui_port: int = UI_PORT,
+                cpu_cores: set[int] | None = None) -> dict:
     """One instrumented merge_cdc_batch of a staged epoch at the current
     cluster size — the timed unit of a pair."""
     from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
@@ -214,8 +216,8 @@ def timed_merge(spark, table, epoch: int, batch_id: int,
         spark.conf.set(k, v)
     events = spark.read.parquet(*epoch_files(epoch))
     execs_before = ev2.n_execs(spark)
-    seen = stage_watermark()
-    cpu0 = ev2._cpu_counters()
+    seen = stage_watermark(ui_port)
+    cpu0 = ev2._cpu_counters(cpu_cores)
     spin = ev2.SpinClock()
     try:
         m = merge_cdc_batch(
@@ -226,7 +228,7 @@ def timed_merge(spark, table, epoch: int, batch_id: int,
             auto_compact_deltas=10 ** 9)     # folds are a separate workload
     finally:
         clock_mops = spin.stop()
-    cpu1 = ev2._cpu_counters()
+    cpu1 = ev2._cpu_counters(cpu_cores)
     d_total = max(cpu1[2] - cpu0[2], 1)
     return {
         "execs": level_execs,
@@ -234,7 +236,7 @@ def timed_merge(spark, table, epoch: int, batch_id: int,
         and ev2.n_execs(spark) == level_execs,
         "batch_sec": round(m.duration_sec, 3),
         "steady_events_per_sec": round(ev2.BATCH_EVENTS / m.duration_sec, 1),
-        "task_seconds": task_seconds_since(seen),
+        "task_seconds": task_seconds_since(seen, ui_port),
         "steal_frac": round((cpu1[0] - cpu0[0]) / d_total, 5),
         "iowait_frac": round((cpu1[1] - cpu0[1]) / d_total, 5),
         "clock_mops": clock_mops,

@@ -349,7 +349,7 @@ def warmup_merge(spark) -> None:
                     batch_id=0, txn_app="warmup", salt_buckets=8, mode="mor")
 
 
-def _cpu_counters() -> tuple[int, int, int]:
+def _cpu_counters(cores: set[int] | None = None) -> tuple[int, int, int]:
     """(steal, iowait, total) jiffies summed over the 16 worker cores.
 
     PRE-REGISTERED in-phase co-tenancy instrument (added before the r4i
@@ -363,11 +363,13 @@ def _cpu_counters() -> tuple[int, int, int]:
     the primary gap-probe validity rule): STEAL-QUIET = steal fraction
     <= 1% of elapsed core-seconds over BOTH phases of the pair."""
     steal = iowait = total = 0
+    watched = (set(cores) if cores is not None
+               else set(range(4 * EXEC_CORES)))   # default: the worker cores
     with open("/proc/stat") as fh:
         for ln in fh:
             if ln.startswith("cpu") and ln[3].isdigit():
                 core = int(ln.split()[0][3:])
-                if core >= 4 * EXEC_CORES:   # only the worker cores
+                if core not in watched:
                     continue
                 f = [int(x) for x in ln.split()[1:]]
                 steal += f[7]
