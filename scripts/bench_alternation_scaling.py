@@ -337,8 +337,30 @@ def write_report() -> dict:
                    n_errors=n_errors,
                    configs={f"{k[0]}/{k[1]}/pf={k[2]}/warm={k[3]}": scored[k]
                             for k in scored})
+    proto_notes = {
+        "alternation_v3": (
+            "per-batch alternation: one warm app, executors killed and "
+            "restarted between the 1-exec and 4-exec merge of each pair; "
+            "per-core-count untimed JIT warmup at campaign start"),
+        "alternation_v3.2": (
+            "v3 + a full-size untimed in-mode warm merge on the freshly "
+            "started executors immediately before every timed merge"),
+        "twin_v4": (
+            "twin long-lived applications (4-exec BIG on workers 0-3, "
+            "1-exec SMALL on worker 4, disjoint pinned cores) sharing one "
+            "standalone master and committing into ONE LakeTable via the "
+            "commit log's cross-process O_EXCL fencing; ZERO executor "
+            "starts/stops between pairs — the scale event is which app "
+            "runs the timed merge, as on a real fleet where both sizes "
+            "are separate warm deployments. Adopted after v3/v3.2 "
+            "isolated a ~1.3-1.5x task-second inflation on seconds-old "
+            "executor JVMs that full-size in-mode warmup does not cure "
+            "(executor-lifecycle physics, not engine; see "
+            "scripts/bench_twin_alternation.py docstring)"),
+    }
     lines = [
-        "# BENCH/ALTERNATION.md — per-batch alternation protocol (v3)",
+        "# BENCH/ALTERNATION.md — per-batch alternation protocols "
+        "(v3 family + twin v4)",
         "",
         "VERDICT r4 'Next round' #2, option (a): alternate 1-executor and "
         "4-executor TIMED MERGES per micro-batch (pair span ~60 s vs v2's "
@@ -346,19 +368,31 @@ def write_report() -> dict:
         "symmetrically; plus option (b) recorded per merge: task-time "
         "efficiency from executor task metrics, which excludes "
         "scheduler/idle-slot asymmetry by construction. Protocol, validity "
-        "rules and both supplementary cuts pre-registered in this script's "
-        "docstring before the first r5 campaign ran. Every cycle "
-        "sha-verifies its final table against the 3-epoch batch oracle. "
-        "Raw pair efficiency over valid pairs stays the number of record.",
+        "rules and both supplementary cuts pre-registered in the script "
+        "docstrings before each campaign ran. Every cycle sha-verifies its "
+        "final table against the 3-epoch batch oracle. Raw pair efficiency "
+        "over valid pairs stays the number of record. Scoring and validity "
+        "rules are IDENTICAL across v3/v3.2/v4 (one `_score`); the "
+        "protocols differ only in executor lifecycle, noted per section.",
     ]
     for key in sorted(configs, key=lambda k: (gens.index(k[0]),) + tuple(
             str(x) for x in k[1:])):
         s = scored[key]
+        protos = sorted({p.get("protocol", "?") for p in configs[key]})
+        # events per timed merge, recovered from the pair records themselves
+        # (ev2.BATCH_EVENTS is the CURRENT env, not the campaign's)
+        mev = statistics.median(
+            p["p1"]["steady_events_per_sec"] * p["p1"]["batch_sec"]
+            for p in configs[key]) / 1e6
+        mev_s = f"{round(mev):g}"
         lines += [
             "",
-            f"## {key[0]}: {key[1]} mode, prefilter={key[2]}, "
-            f"warm_feed={key[3]}, "
-            f"{ev2.BATCH_EVENTS / 1_000_000:g}M events/timed merge",
+            f"## {key[0]} ({'+'.join(protos)}): {key[1]} mode, "
+            f"prefilter={key[2]}, warm_feed={key[3]}, "
+            f"{mev_s}M events/timed merge",
+            "",
+            "_Protocol: " + "; ".join(
+                proto_notes.get(pr, pr) for pr in protos) + "._",
             "",
             f"**Median pair efficiency over VALID pairs = "
             f"{s['median_valid']}** ({s['n_valid']} valid of "
@@ -375,7 +409,7 @@ def write_report() -> dict:
             "tracks the clock instrument pair-by-pair; an engine-serial "
             "loss would not). "
             f"**Task-time efficiency: median {s['median_tt_eff']}** over "
-            f"{s['n_tt']} valid pairs (task-seconds per 24M-event merge: "
+            f"{s['n_tt']} valid pairs (task-seconds per {mev_s}M-event merge: "
             f"median {s['median_task_s_p1']} s @1 exec vs "
             f"{s['median_task_s_p4']} s @4 execs — idle-slot and "
             "driver-serial time excluded by construction).",
