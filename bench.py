@@ -167,7 +167,9 @@ def main() -> None:
                                  salt_buckets=8, mode=mode,
                                  l0_groups=l0_groups,
                                  auto_compact_deltas=compact_at,
-                                 max_files_per_trigger=files_per_epoch)
+                                 max_files_per_trigger=files_per_epoch,
+                                 async_commit=os.environ.get(
+                                     "BENCH_ASYNC_COMMIT") == "1")
         t0 = time.monotonic()
         runner.run_available_now(timeout_sec=3600)
         rep_sec = time.monotonic() - t0

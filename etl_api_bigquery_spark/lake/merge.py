@@ -568,6 +568,7 @@ def merge_cdc_batch(
     prefilter_strategy: str = "broadcast",
     l0_groups: int | str | None = None,
     compact_async: bool = False,
+    async_finalize: bool = False,
 ) -> MergeMetrics:
     """Apply one micro-batch of CDC envelopes to the table, exactly once.
 
@@ -626,8 +627,24 @@ def merge_cdc_batch(
     extending this batch's critical path — the per-trigger serial tail no
     longer idles the cluster while a fold is due. See
     :meth:`LakeTable.compact_deltas_async` for the correctness argument.
+
+    ``async_finalize=True`` (raw only): the batch's Spark write job runs
+    inline, but the driver-serial tail — parquet footer harvest, lineage,
+    commit-log fsync, the auto-compaction trigger — runs on a background
+    driver thread so it overlaps the caller's next trigger (Spark's
+    walCommit/getBatch/planning in a stream, the next batch's scan in a
+    replay loop). The returned metrics' ``version``/lineage/``phases``
+    fields settle only when the commit lands (``m.version`` stays -1 until
+    then); call :meth:`LakeTable.join_pending_commit` before reading them.
+    Exactly-once is preserved (the fence counts the pending commit, commit
+    order equals batch order), but durability is deferred by one batch —
+    see :meth:`LakeTable.append_deltas` and
+    :meth:`~etl_api_bigquery_spark.streaming.runner.CdcStreamRunner.repair_fence_gap`.
     """
     t0 = time.monotonic()
+    if async_finalize and mode != "raw":
+        raise ValueError(
+            "async_finalize requires mode='raw' (the LSM append path)")
     if prefilter is None:
         prefilter = mode != "raw"
     m = MergeMetrics(batch_id=batch_id)
@@ -705,38 +722,58 @@ def merge_cdc_batch(
             }}
 
         _t_plan = time.monotonic() - t0
-        m.version = table.append_deltas(delta, properties=props,
-                                        repartition=False, bucket_pure=False,
-                                        bucket_groups=l0_groups,
-                                        props_fn=lineage_props)
-        _t_commit_done = time.monotonic()
-        _write_phases = dict(table.last_write_phases)
-        # trailing write stats feeding the next batch's l0_groups="auto":
-        # out/in byte ratio (batch path) + (bytes, files, G) feedback
-        # (streaming path, where the batch DF exposes no input files)
-        in_b = getattr(table, "_last_l0_in_bytes", 0)
-        if in_b and _write_phases.get("out_bytes"):
-            table.l0_out_ratio = _write_phases["out_bytes"] / in_b
-        if _write_phases.get("out_bytes"):
-            table._last_l0_write = (_write_phases["out_bytes"],
-                                    _write_phases.get("n_files", 1),
-                                    l0_groups if isinstance(l0_groups, int)
-                                    else 1)
-        counts = table.bucket_read_amplification()
-        hot = [b for b, c in counts.items() if c >= auto_compact_deltas]
-        if hot:
-            cprops = {"auto_compact_for_batch": batch_id}
-            if compact_async:
-                table.compact_deltas_async(hot, properties=cprops)
-            else:
-                table.compact_deltas(buckets=hot, properties=cprops)
+
+        def _post(version: int) -> None:
+            # everything after the data-file commit: l0 feedback, the
+            # auto-compaction trigger, and the phase telemetry. Runs inline
+            # (sync) or on the commit-finalizer thread (async_finalize).
+            _t_post0 = time.monotonic()
+            _write_phases = dict(table.last_write_phases)
+            # trailing write stats feeding the next batch's l0_groups="auto":
+            # out/in byte ratio (batch path) + (bytes, files, G) feedback
+            # (streaming path, where the batch DF exposes no input files)
+            in_b = getattr(table, "_last_l0_in_bytes", 0)
+            if in_b and _write_phases.get("out_bytes"):
+                table.l0_out_ratio = _write_phases["out_bytes"] / in_b
+            if _write_phases.get("out_bytes"):
+                table._last_l0_write = (_write_phases["out_bytes"],
+                                        _write_phases.get("n_files", 1),
+                                        l0_groups if isinstance(l0_groups, int)
+                                        else 1)
+            counts = table.bucket_read_amplification()
+            hot = [b for b, c in counts.items() if c >= auto_compact_deltas]
+            if hot:
+                cprops = {"auto_compact_for_batch": batch_id}
+                if compact_async:
+                    table.compact_deltas_async(hot, properties=cprops)
+                else:
+                    table.compact_deltas(buckets=hot, properties=cprops)
+            m.version = version
+            m.extra["phases"] = {
+                "plan_build_s": round(_t_plan, 4),
+                "prefilter_build_s": round(_t_bloom, 4),
+                **_write_phases,
+                "compact_s": round(time.monotonic() - _t_post0, 4),
+            }
+
+        if async_finalize:
+            # write job runs inline (the parallel part); footer harvest +
+            # lineage + commit fsync + compaction trigger land on the
+            # finalizer thread, overlapping the caller's next batch. m's
+            # version/lineage/phases fields settle when the commit lands —
+            # callers read them after LakeTable.join_pending_commit().
+            m.extra["async_commit"] = True
+            table.append_deltas(delta, properties=props,
+                                repartition=False, bucket_pure=False,
+                                bucket_groups=l0_groups,
+                                props_fn=lineage_props,
+                                async_finalize=True, post_commit=_post)
+        else:
+            _post(table.append_deltas(delta, properties=props,
+                                      repartition=False, bucket_pure=False,
+                                      bucket_groups=l0_groups,
+                                      props_fn=lineage_props))
         m.duration_sec = time.monotonic() - t0
-        m.extra["phases"] = {
-            "plan_build_s": round(_t_plan, 4),
-            "prefilter_build_s": round(_t_bloom, 4),
-            **_write_phases,
-            "compact_s": round(time.monotonic() - _t_commit_done, 4),
-        }
         return m
 
     # ---- 1. ONE shuffle for the whole batch: repartition by bucket, then

@@ -160,6 +160,12 @@ class LakeTable:
         # background maintenance (async compaction) — at most one in flight
         self._maint_pool = None
         self._maint_future = None
+        # async commit finalizer (footer harvest + commit fsync pipelined
+        # with the caller's next batch) — at most one in flight; the fence
+        # props of the pending commit, visible to last_txn before it lands
+        self._commit_pool = None
+        self._commit_future = None
+        self._pending_txn: tuple[str, int] | None = None
 
     # ------------------------------------------------------------------ DDL
 
@@ -398,6 +404,7 @@ class LakeTable:
         return self._doc_cache[version]
 
     def history(self) -> list[dict[str, Any]]:
+        self.join_pending_commit()
         out = []
         for cv in self._commit_versions():
             doc = self._read_doc(cv)
@@ -431,7 +438,14 @@ class LakeTable:
                 cur = self._txn_best.get(app)
                 self._txn_best[app] = b if cur is None or b > cur else cur
             self._txn_hwm = cv
-        return self._txn_best.get(app_id)
+        best = self._txn_best.get(app_id)
+        # an async commit finalizer in flight counts toward the fence (its
+        # commit is ordered before any later batch's — see append_deltas)
+        pend = self._pending_txn
+        if pend is not None and pend[0] == app_id and (best is None
+                                                       or pend[1] > best):
+            best = pend[1]
+        return best
 
     # --------------------------------------------------------------- buckets
 
@@ -525,6 +539,7 @@ class LakeTable:
         delete tombstones — the same LWW rule the COW merge applies at write
         time. Compaction (:meth:`compact_deltas`) bounds the number of deltas
         so read amplification stays O(1) per bucket."""
+        self.join_pending_commit()        # read-your-writes under async commit
         snap = self.snapshot(version)
         entries = snap.files_for_buckets(buckets)
         if skip_predicates:
@@ -577,6 +592,7 @@ class LakeTable:
         already >= the low-watermark has none old enough. At 100 TB this
         maintenance pass touches the few buckets with old deletes, not the
         table."""
+        self.join_pending_commit()
         snap = self.snapshot()
         entries = list(snap.files.values())
 
@@ -606,6 +622,7 @@ class LakeTable:
                                    snap.schema, snap.schema_id, props)
 
     def is_empty(self) -> bool:
+        self.join_pending_commit()
         return self.snapshot().num_rows == 0
 
     # ---------------------------------------------------------------- writes
@@ -637,6 +654,29 @@ class LakeTable:
 
         Stats come from parquet footers only.
         """
+        abs_dir, rel_dir, wjs = self._run_write_job(
+            df, version, schema, kind=kind, repartition=repartition,
+            bucket_pure=bucket_pure, bucket_groups=bucket_groups)
+        _th = time.monotonic()
+        entries = self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
+        if record_phases:
+            self.last_write_phases = {
+                "write_job_s": wjs,
+                "harvest_s": round(time.monotonic() - _th, 4),
+                "n_files": len(entries),
+                "out_bytes": sum(e.bytes for e in entries),
+            }
+        return entries
+
+    def _run_write_job(
+        self, df: DataFrame, version: int, schema: T.StructType,
+        kind: str = "base", repartition: bool = True,
+        bucket_pure: bool = True, bucket_groups: int | None = None,
+    ) -> tuple[str, str, float]:
+        """The Spark-job half of :meth:`_write_data_files`: materialize the
+        data files and return ``(abs_dir, rel_dir, write_job_seconds)``
+        without touching the parquet footers — so an async finalizer can
+        harvest + commit off the critical path (see ``append_deltas``)."""
         out = df
         if LSN_COL not in out.columns:
             out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
@@ -660,16 +700,7 @@ class LakeTable:
             out.write.mode("overwrite").partitionBy("_bgrp").parquet(abs_dir)
         else:
             out.write.mode("overwrite").parquet(abs_dir)
-        _th = time.monotonic()
-        entries = self._harvest_entries(abs_dir, rel_dir, schema_id, kind)
-        if record_phases:
-            self.last_write_phases = {
-                "write_job_s": round(_th - _tw, 4),
-                "harvest_s": round(time.monotonic() - _th, 4),
-                "n_files": len(entries),
-                "out_bytes": sum(e.bytes for e in entries),
-            }
-        return entries
+        return abs_dir, rel_dir, round(time.monotonic() - _tw, 4)
 
     # above this file count the footer harvest runs as a Spark job on
     # executors instead of a driver thread pool (env-tunable for tests)
@@ -712,6 +743,7 @@ class LakeTable:
     def append(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
         """Blind append (the reference's empty-table fast path M3 — a pure
         insert with no match scan, loader.py:347-378)."""
+        self.join_pending_commit()
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(self._with_bucket(df), version,
@@ -721,6 +753,7 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
         """Full-table replace (snapshot-atomic truncate + insert)."""
+        self.join_pending_commit()
         snap = self.snapshot()
         version = snap.version + 1
         adds = self._write_data_files(self._with_bucket(df), version,
@@ -735,6 +768,7 @@ class LakeTable:
         partition-overwrite semantics (delete matching files then upload one
         fresh file, src/shared/gcs/loader.py:173-224 + 277-282) expressed as
         one atomic commit instead of delete-then-write."""
+        self.join_pending_commit()
         snap = self.snapshot()
         version = snap.version + 1
         dfb = self._with_bucket(df)
@@ -767,6 +801,7 @@ class LakeTable:
 
         At 100 TB this is the difference between a maintenance delete
         costing O(matching buckets) and O(table)."""
+        self.join_pending_commit()
         snap = self.snapshot()
         entries = list(snap.files.values())
         buckets: list[int] | None = None
@@ -844,7 +879,9 @@ class LakeTable:
                       repartition: bool = True,
                       bucket_pure: bool = True,
                       bucket_groups: int | None = None,
-                      props_fn: Any = None) -> int:
+                      props_fn: Any = None,
+                      async_finalize: bool = False,
+                      post_commit: Any = None) -> int:
         """Merge-on-read write path: append LWW-resolvable change files
         (rows carry BUCKET_COL, LSN_COL, OP_COL). O(batch) cost — no target
         read, no rewrite; reads resolve via :meth:`_resolve_lww` and
@@ -860,22 +897,112 @@ class LakeTable:
         ``bucket_groups`` (with ``bucket_pure=False``): bucket-clustered L0 —
         see :meth:`_write_data_files`. Pure appends always retry a lost
         commit race (adds only — nothing to re-validate), so delta writes are
-        safe concurrent with background compaction."""
+        safe concurrent with background compaction.
+
+        ``async_finalize=True``: the Spark write job still runs inline (the
+        parallel part), but the DRIVER-SERIAL tail — parquet footer harvest,
+        lineage ``props_fn``, commit-log write + fsync — runs on a background
+        driver thread so it overlaps the caller's next trigger (scan of batch
+        N+1, streaming wrapper). Returns ``-1`` (version pending); the real
+        version reaches the optional ``post_commit(version)`` hook on the
+        finalizer thread after the commit lands. Ordering invariant: at most
+        one finalize is in flight and the previous one is joined before this
+        one may commit, so commit order equals batch order and fence N always
+        lands before data N+1 commits. Readers (:meth:`read`), maintenance
+        and destructive ops join the pending commit first (read-your-writes).
+        Durability note: between the caller's return and the background
+        fsync, the batch is NOT yet in the log — a crash in that window
+        loses it from the table while an outer offset tracker (e.g. a
+        streaming checkpoint) may already count it done; pair with a
+        replayable source + fence-vs-checkpoint gap repair
+        (:meth:`~..streaming.CdcStreamRunner.repair_fence_gap`)."""
+        if not async_finalize:
+            # a sync append must not overtake an in-flight async commit
+            # (commit order == call order keeps fences monotonic)
+            self.join_pending_commit()
         snap = self.snapshot()
         version = snap.version + 1
-        adds = self._write_data_files(df, version, snap.schema, snap.schema_id,
-                                      kind="delta", repartition=repartition,
-                                      bucket_pure=bucket_pure,
-                                      bucket_groups=bucket_groups)
-        props = dict(properties or {})
-        if props_fn is not None:
-            props.update(props_fn(adds))
-        while True:
-            try:
-                return self._write_commit(version, "merge_mor", snap.schema,
-                                          snap.schema_id, adds, [], props)
-            except CommitConflictError:
-                version = self.snapshot().version + 1
+        if not async_finalize:
+            adds = self._write_data_files(df, version, snap.schema,
+                                          snap.schema_id,
+                                          kind="delta", repartition=repartition,
+                                          bucket_pure=bucket_pure,
+                                          bucket_groups=bucket_groups)
+            props = dict(properties or {})
+            if props_fn is not None:
+                props.update(props_fn(adds))
+            while True:
+                try:
+                    v = self._write_commit(version, "merge_mor", snap.schema,
+                                           snap.schema_id, adds, [], props)
+                    break
+                except CommitConflictError:
+                    version = self.snapshot().version + 1
+            if post_commit is not None:
+                post_commit(v)
+            return v
+        # run the parallel part now; defer the driver-serial tail
+        abs_dir, rel_dir, wjs = self._run_write_job(
+            df, version, snap.schema, kind="delta", repartition=repartition,
+            bucket_pure=bucket_pure, bucket_groups=bucket_groups)
+        # ordering: the previous async commit must be fully on disk before
+        # this one may land (also bounds in-flight finalizers to one)
+        self.join_pending_commit()
+        props0 = dict(properties or {})
+        if "txn_app" in props0 and props0.get("txn_batch") is not None:
+            self._pending_txn = (str(props0["txn_app"]),
+                                 int(props0["txn_batch"]))
+
+        def _finalize() -> int:
+            _th = time.monotonic()
+            entries = self._harvest_entries(abs_dir, rel_dir,
+                                            snap.schema_id, "delta")
+            self.last_write_phases = {
+                "write_job_s": wjs,
+                "harvest_s": round(time.monotonic() - _th, 4),
+                "n_files": len(entries),
+                "out_bytes": sum(e.bytes for e in entries),
+            }
+            props = dict(props0)
+            if props_fn is not None:
+                props.update(props_fn(entries))
+            v = version
+            while True:
+                try:
+                    v = self._write_commit(v, "merge_mor", snap.schema,
+                                           snap.schema_id, entries, [], props)
+                    break
+                except CommitConflictError:
+                    v = self.snapshot().version + 1
+            # commit is durable: the log itself now carries the fence
+            self._pending_txn = None
+            if post_commit is not None:
+                post_commit(v)
+            return v
+
+        if self._commit_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._commit_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lake-commit")
+        self._commit_future = self._commit_pool.submit(_finalize)
+        return -1
+
+    def join_pending_commit(self) -> int | None:
+        """Block until an in-flight async commit finalizer (see
+        ``append_deltas(async_finalize=True)``) lands; re-raise its failure
+        (a silently lost commit would drop a batch). Returns the committed
+        version, or None if nothing was pending. No-op when called from the
+        finalizer thread itself (post_commit hooks may reach table APIs)."""
+        f = self._commit_future
+        if f is None:
+            return None
+        import threading
+        if threading.current_thread().name.startswith("lake-commit"):
+            return None
+        try:
+            return f.result()
+        finally:
+            self._commit_future = None
 
     # ------------------------------------------------------- maintenance
 
@@ -1009,6 +1136,7 @@ class LakeTable:
         folded nor removed — LWW resolution keeps them winning over the
         compacted base), and a losing commit race is retried after
         re-validating the victims are still live."""
+        self.join_pending_commit()
         snap = self.snapshot()
         if buckets is None:
             counts = self.bucket_read_amplification()
@@ -1036,6 +1164,7 @@ class LakeTable:
         files stay as-is; reads conform them (NULL backfill / upcast).
         Reference analogue: ALTER TABLE ... ADD COLUMN IF NOT EXISTS + MERGE
         backfill (backfill_products_partition.py:59-96)."""
+        self.join_pending_commit()
         snap = self.snapshot()
         version = snap.version + 1
         return self._write_commit(version, "evolve_schema", new_schema,
@@ -1046,6 +1175,7 @@ class LakeTable:
         """Rewrite buckets fragmented across many files into one file each
         (reference analogue: single-file-per-partition compaction,
         gcs/loader.py:173-224; Iceberg rewrite_data_files)."""
+        self.join_pending_commit()
         snap = self.snapshot()
         by_bucket: dict[int, list[FileEntry]] = {}
         for e in snap.files.values():
@@ -1063,6 +1193,7 @@ class LakeTable:
     def vacuum(self, keep_versions: int = 2) -> int:
         """Physically delete data files not referenced by the newest
         ``keep_versions`` snapshots. Returns #files removed."""
+        self.join_pending_commit()
         vs = self._commit_versions()
         keep = set()
         for v in vs[-keep_versions:]:

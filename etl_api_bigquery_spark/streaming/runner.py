@@ -19,6 +19,8 @@ binlog/WAL drop zone.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -72,6 +74,17 @@ class CdcStreamRunner:
     # the next trigger's scan; joined (and failures re-raised) before
     # run_available_now returns
     async_compact: bool = True
+    # pipeline each batch's commit finalization (footer harvest + lineage +
+    # commit fsync + compaction trigger) with the NEXT trigger's scan/plan
+    # (raw mode only — merge_cdc_batch(async_finalize=True)). Exactly-once
+    # is preserved; durability is deferred by one batch: a crash between a
+    # batch's checkpoint commit and its table commit leaves a fence <
+    # checkpoint gap, which repair_fence_gap() closes on restart by
+    # re-applying the missing batches from the checkpoint's file-source log.
+    # Off by default: the tail is <2% of batch wall at production batch
+    # sizes (BENCH/BASELINE.md round 5), so the default keeps the simpler
+    # crash story.
+    async_commit: bool = False
     transform: Callable[[DataFrame], DataFrame] | None = None
     # optional stateful pre-filter (applyInPandasWithState): drops events
     # at-or-below each key's high-water LSN BEFORE the sink, cutting merge
@@ -104,9 +117,14 @@ class CdcStreamRunner:
             prefilter=self.prefilter,
             prefilter_strategy=self.prefilter_strategy, l0_groups=groups,
             compact_async=self.async_compact and self.mode != "cow",
+            async_finalize=self.async_commit and self.mode == "raw",
         )
         self.metrics.append(m)
         if self.target_events_per_sec is not None:
+            # pacing reads the batch's event counts, which settle only when
+            # an async commit lands — join first (the pace sleep would have
+            # covered the finalize anyway)
+            self.table.join_pending_commit()
             self._pace(m)
 
     def _pace(self, m: MergeMetrics) -> None:
@@ -179,7 +197,93 @@ class CdcStreamRunner:
             except Exception:
                 pass
             raise q.exception()
-        # land any in-flight background compaction inside this drain's window
-        # (and surface its failure) — callers observe a fully maintained table
+        # land any in-flight async commit + background compaction inside
+        # this drain's window (and surface their failures) — callers observe
+        # a fully committed, fully maintained table and settled metrics
+        self.table.join_pending_commit()
         self.table.join_maintenance()
         return self.metrics
+
+    # ------------------------------------------------------------ recovery
+
+    def repair_fence_gap(self, timeout_sec: int = 600) -> list[MergeMetrics]:
+        """Close the async-commit crash window: re-apply any batch the
+        streaming checkpoint committed but the table fence never saw.
+
+        With ``async_commit=True`` a batch's source offsets are
+        checkpoint-committed before its table commit fsyncs, so a crash in
+        that window loses the batch from the table while Spark considers it
+        done and will never re-deliver it. The file source is replayable,
+        though: the checkpoint's ``sources/0`` log records exactly which
+        feed files each batch admitted. On restart, call this BEFORE
+        :meth:`run_available_now` — it compares the table fence
+        (``last_txn``) with the checkpoint's committed batches and replays
+        each missing batch's file list through the same
+        :func:`merge_cdc_batch` sink (sync commits). The fence makes it
+        idempotent: batches that did land are skipped by the fence check,
+        so calling this on a healthy checkpoint is a no-op.
+        """
+        import glob as _glob
+        out: list[MergeMetrics] = []
+        cdir = os.path.join(self.checkpoint_dir, "commits")
+        committed = sorted(
+            int(os.path.basename(f)) for f in _glob.glob(
+                os.path.join(cdir, "*"))
+            if os.path.basename(f).isdigit())
+        if not committed:
+            return out
+        last = self.table.last_txn(self.txn_app)
+        gap = [b for b in committed if last is None or b > last]
+        for b in gap:
+            files = self._source_log_files(b)
+            if not files:  # empty batch (possible with availableNow tails)
+                continue
+            batch_df = self.spark.read.schema(feed_schema()).parquet(*files)
+            if self.transform is not None:
+                batch_df = self.transform(batch_df)
+            groups = self.l0_groups
+            if groups is None and self.mode == "raw":
+                groups = "auto"
+            m = merge_cdc_batch(
+                self.table, batch_df, batch_id=b, txn_app=self.txn_app,
+                salt_buckets=self.salt_buckets, mode=self.mode,
+                auto_compact_deltas=self.auto_compact_deltas,
+                prefilter=self.prefilter,
+                prefilter_strategy=self.prefilter_strategy, l0_groups=groups,
+                compact_async=False,
+            )
+            out.append(m)
+            self.metrics.append(m)
+        self.table.join_maintenance()
+        return out
+
+    def _source_log_files(self, batch_id: int) -> list[str]:
+        """File paths the file source admitted for ``batch_id``, from the
+        checkpoint's FileStreamSource metadata log (``sources/0/<batch>`` —
+        JSON lines of ``{path, timestamp, batchId}``; compacted log files
+        carry every entry with its original batchId, so filtering on
+        batchId works for both plain and ``.compact`` log files)."""
+        sdir = os.path.join(self.checkpoint_dir, "sources", "0")
+        cand = None
+        best = None
+        for f in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            stem = f[:-8] if f.endswith(".compact") else f
+            if not stem.isdigit():
+                continue
+            v = int(stem)
+            if v >= batch_id and (best is None or v < best):
+                best, cand = v, os.path.join(sdir, f)
+        if cand is None:
+            raise FileNotFoundError(
+                f"no source log entry covers batch {batch_id} in {sdir}")
+        files: list[str] = []
+        with open(cand) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                e = json.loads(line)
+                if int(e.get("batchId", -1)) == batch_id:
+                    p = e["path"]
+                    files.append(p[7:] if p.startswith("file://") else p)
+        return files

@@ -40,6 +40,12 @@ def main() -> None:
                     help="stateful LWW staleness pre-filter "
                          "(applyInPandasWithState) before the MERGE sink")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument("--async-commit", action="store_true",
+                    help="pipeline each batch's commit finalization with the "
+                         "next trigger (raw mode; see CdcStreamRunner."
+                         "async_commit). On startup, first repairs any "
+                         "fence-vs-checkpoint gap a crash in the async "
+                         "window left behind")
     ap.add_argument("--txn-app", default="cdc-ingest")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --feed-dir first")
@@ -80,14 +86,18 @@ def main() -> None:
                    "default": None}[args.prefilter],
         prefilter_strategy=("bloom" if args.prefilter == "bloom"
                             else "broadcast"),
-        stateful_staleness_filter=args.stateful_filter)
+        stateful_staleness_filter=args.stateful_filter,
+        async_commit=args.async_commit)
     t0 = time.monotonic()
+    repaired = (runner.repair_fence_gap() if args.async_commit
+                and os.path.exists(args.checkpoint) else [])
     metrics = runner.run_available_now()
     dt = time.monotonic() - t0
     applied = [m for m in metrics if not m.skipped_fence]
     events = sum(m.keys for m in applied)
 
-    result = {"batches": len(applied), "keys_applied": events,
+    result = {"batches": len(applied), "repaired": len(repaired),
+              "keys_applied": events,
               "duration_sec": round(dt, 2), "table_version": table.current_version(),
               "rows": table.snapshot().num_rows}
     if args.verify:

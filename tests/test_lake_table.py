@@ -279,3 +279,59 @@ def test_checkpointed_table_state_matches_after_merges(spark, tmp_table_dir,
     assert cold.last_txn("ckm") == 2
     assert_replay_match(cold.read(), expected_final_state(feed))
     feed.unpersist()
+
+
+def _delta_df(spark, n, tag="a"):
+    """Rows shaped like the merge path's delta input (engine cols present)."""
+    from etl_api_bigquery_spark.lake.table import BUCKET_COL, LSN_COL, OP_COL
+    return rows_df(spark, n, tag).select(
+        "*",
+        F.lit(0).cast("int").alias(BUCKET_COL),
+        F.monotonically_increasing_id().alias(LSN_COL),
+        F.lit("U").alias(OP_COL))
+
+
+def test_async_finalize_read_your_writes(spark, tmp_table_dir):
+    """append_deltas(async_finalize=True) returns -1 immediately; a read (or
+    any other table op) joins the pending commit first, so the caller always
+    observes its own write, and last_txn counts the pending fence."""
+    t = make_table(spark, tmp_table_dir)
+    v = t.append_deltas(_delta_df(spark, 30), repartition=False,
+                        properties={"txn_app": "a1", "txn_batch": 7},
+                        async_finalize=True)
+    assert v == -1
+    assert t.last_txn("a1") == 7           # pending commit counts
+    assert t.read().count() == 30          # read joined the finalizer
+    assert t.current_version() == 1
+    # a second async append after the first settled
+    t.append_deltas(_delta_df(spark, 10, "b"), repartition=False,
+                    properties={"txn_app": "a1", "txn_batch": 8},
+                    async_finalize=True)
+    got = t.join_pending_commit()
+    assert got == 2
+    assert t.last_txn("a1") == 8
+
+
+def test_async_finalize_failure_surfaces(spark, tmp_table_dir):
+    """A failed background commit must re-raise at the next table op, never
+    silently drop the batch."""
+    t = make_table(spark, tmp_table_dir)
+
+    def boom(adds):
+        raise RuntimeError("lineage exploded")
+
+    v = t.append_deltas(_delta_df(spark, 5), repartition=False,
+                        props_fn=boom, async_finalize=True)
+    assert v == -1
+    with pytest.raises(RuntimeError, match="lineage exploded"):
+        t.join_pending_commit()
+    # the failure is consumed; the table is usable and the batch is absent
+    assert t.read().count() == 0
+
+
+def test_async_finalize_requires_raw_mode(spark, tmp_table_dir):
+    from etl_api_bigquery_spark.lake.merge import merge_cdc_batch
+    t = make_table(spark, tmp_table_dir)
+    with pytest.raises(ValueError, match="async_finalize"):
+        merge_cdc_batch(t, _delta_df(spark, 1), mode="cow",
+                        async_finalize=True)

@@ -120,3 +120,54 @@ def test_rate_governor_holds_target(spark, staged):
     assert rate <= target * 1.05, f"governor overshot: {rate:.0f} ev/s"
     assert rate >= target * 0.5, f"governor over-slept: {rate:.0f} ev/s"
     assert_replay_match(table.read(), expected_final_state(feed))
+
+
+def test_async_commit_stream_matches_oracle(spark, staged):
+    """async_commit pipelines each batch's footer-harvest + commit fsync with
+    the next trigger; the drain must still be exactly-once and byte-identical
+    to the batch oracle, with every metric settled by drain end."""
+    feed, feed_dir, table, ckpt = staged
+    r = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="ac1",
+                        mode="raw", async_commit=True)
+    metrics = r.run_available_now()
+    applied = [m for m in metrics if not m.skipped_fence]
+    assert len(applied) == 6
+    # run_available_now joins the pending commit: versions/lineage settled
+    assert all(m.version > 0 for m in applied)
+    assert all(m.extra.get("async_commit") for m in applied)
+    assert len({m.version for m in applied}) == 6
+    assert all("phases" in m.extra for m in applied)
+    assert_replay_match(table.read(), expected_final_state(feed))
+    # second drain on the same checkpoint: fence drops everything
+    r2 = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="ac1",
+                         mode="raw", async_commit=True)
+    m2 = r2.run_available_now()
+    assert all(m.skipped_fence or m.keys == 0 for m in m2)
+
+
+def test_repair_fence_gap_recovers_lost_async_commit(spark, staged):
+    """The async-commit crash window: checkpoint committed batch N but the
+    table commit never fsynced. Simulate by deleting the table's last commit
+    log entry after a clean drain, then repair from the checkpoint's
+    file-source log and verify the final state matches the oracle."""
+    feed, feed_dir, table, ckpt = staged
+    r = CdcStreamRunner(spark, table, feed_dir, ckpt, txn_app="gap1",
+                        mode="raw", async_commit=True)
+    r.run_available_now()
+    lost = table.current_version()
+    os.remove(table._log_path(lost))
+    for cv in table._checkpoint_versions():
+        if cv >= lost:
+            os.remove(os.path.join(table._checkpoint_dir(),
+                                   f"{cv:020d}.json"))
+    # a fresh process would see fence < checkpoint high-water
+    fresh = LakeTable(spark, table.location)
+    assert fresh.last_txn("gap1") == 4
+    r2 = CdcStreamRunner(spark, fresh, feed_dir, ckpt, txn_app="gap1",
+                         mode="raw")
+    repaired = r2.repair_fence_gap()
+    assert [m.batch_id for m in repaired] == [5]
+    assert not any(m.skipped_fence for m in repaired)
+    assert_replay_match(fresh.read(), expected_final_state(feed))
+    # and on a healthy table the repair is a no-op
+    assert r2.repair_fence_gap() == []
