@@ -169,7 +169,7 @@ def main() -> None:
                                  auto_compact_deltas=compact_at,
                                  max_files_per_trigger=files_per_epoch,
                                  async_commit=os.environ.get(
-                                     "BENCH_ASYNC_COMMIT") == "1")
+                                     "BENCH_ASYNC_COMMIT", "1") != "0")
         t0 = time.monotonic()
         runner.run_available_now(timeout_sec=3600)
         rep_sec = time.monotonic() - t0

@@ -79,12 +79,14 @@ class CdcStreamRunner:
     # (raw mode only — merge_cdc_batch(async_finalize=True)). Exactly-once
     # is preserved; durability is deferred by one batch: a crash between a
     # batch's checkpoint commit and its table commit leaves a fence <
-    # checkpoint gap, which repair_fence_gap() closes on restart by
-    # re-applying the missing batches from the checkpoint's file-source log.
-    # Off by default: the tail is <2% of batch wall at production batch
-    # sizes (BENCH/BASELINE.md round 5), so the default keeps the simpler
-    # crash story.
-    async_commit: bool = False
+    # checkpoint gap. The default is ON because run_available_now() closes
+    # that window automatically — it calls repair_fence_gap() before
+    # starting the stream, re-applying any checkpoint-committed batch the
+    # table fence never saw from the file source's own checkpoint log (the
+    # feed is replayable by construction). Measured at the local[32]
+    # 1M-event operating point: +7-10% steady throughput (BENCH/BASELINE.md
+    # round 5). Set False for a strictly synchronous commit per batch.
+    async_commit: bool = True
     transform: Callable[[DataFrame], DataFrame] | None = None
     # optional stateful pre-filter (applyInPandasWithState): drops events
     # at-or-below each key's high-water LSN BEFORE the sink, cutting merge
@@ -166,6 +168,10 @@ class CdcStreamRunner:
             reader = reader.option("maxFilesPerTrigger",
                                    self.max_files_per_trigger)
         stream = reader.parquet(self.feed_dir)
+        if self.async_commit and self.mode == "raw":
+            # close any fence-vs-checkpoint gap a crash inside the async
+            # commit window left behind (no-op on a healthy checkpoint)
+            self.repair_fence_gap()
         if self.stateful_staleness_filter:
             from .stateful import lww_staleness_filter
             stream = lww_staleness_filter(stream, self.table.key_cols)
@@ -192,8 +198,9 @@ class CdcStreamRunner:
             if q.isActive:
                 q.stop()
         if q.exception() is not None:
-            try:      # don't leave a fold running, don't mask the stream error
-                self.table.join_maintenance()
+            try:      # don't leave a commit finalizer or fold running,
+                self.table.join_pending_commit()   # don't mask the stream
+                self.table.join_maintenance()      # error either
             except Exception:
                 pass
             raise q.exception()

@@ -40,12 +40,13 @@ def main() -> None:
                     help="stateful LWW staleness pre-filter "
                          "(applyInPandasWithState) before the MERGE sink")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
-    ap.add_argument("--async-commit", action="store_true",
+    ap.add_argument("--async-commit", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="pipeline each batch's commit finalization with the "
                          "next trigger (raw mode; see CdcStreamRunner."
-                         "async_commit). On startup, first repairs any "
+                         "async_commit; default on). On startup, any "
                          "fence-vs-checkpoint gap a crash in the async "
-                         "window left behind")
+                         "window left behind is repaired first")
     ap.add_argument("--txn-app", default="cdc-ingest")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic events into --feed-dir first")
@@ -90,6 +91,7 @@ def main() -> None:
         async_commit=args.async_commit)
     t0 = time.monotonic()
     repaired = (runner.repair_fence_gap() if args.async_commit
+                and args.mode == "raw"
                 and os.path.exists(args.checkpoint) else [])
     metrics = runner.run_available_now()
     dt = time.monotonic() - t0
