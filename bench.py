@@ -267,6 +267,8 @@ def main() -> None:
         "n_epochs": n_epochs,
         "cpus": CPUS,
         "mode": mode,
+        "async_commit": os.environ.get("BENCH_ASYNC_COMMIT", "1") != "0"
+        and mode == "raw",
         "prefilter": prefilter,
         "l0_groups": l0_groups if mode == "raw" else None,
         "replay_rows_matched": match["total"],
