@@ -3,6 +3,7 @@ gold aggregates, plan helpers, and lineage extraction."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_api_bigquery_spark.cdc import change_feed
@@ -123,3 +124,41 @@ def test_lineage_df(spark, tmp_table_dir):
     assert len(rows) == 1
     assert rows[0].keys == 1 and rows[0].txn_app == "lin-app"
     assert rows[0].skew_factor is not None
+
+
+def test_source_log_files_plain_and_compact(spark, tmp_path):
+    """CdcStreamRunner._source_log_files must read both plain per-batch
+    FileStreamSource log entries and compacted log files (every entry
+    carries its original batchId in a compact), since checkpoints past the
+    source log's compactInterval only retain the .compact file."""
+    import json
+    import os
+
+    from etl_api_bigquery_spark.lake import LakeTable
+    from etl_api_bigquery_spark.streaming import CdcStreamRunner
+    from pyspark.sql import types as T
+
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sdir = os.path.join(ckpt, "sources", "0")
+    os.makedirs(sdir)
+    # plain log file for batch 0, compact file covering batches 0-2
+    with open(os.path.join(sdir, "0"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"path": "file:///feed/a.parquet",
+                             "timestamp": 1, "batchId": 0}) + "\n")
+    with open(os.path.join(sdir, "2.compact"), "w") as fh:
+        fh.write("v1\n")
+        for b, name in ((0, "a"), (1, "b"), (1, "c"), (2, "d")):
+            fh.write(json.dumps({"path": f"file:///feed/{name}.parquet",
+                                 "timestamp": 1, "batchId": b}) + "\n")
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    table = LakeTable.create(spark, os.path.join(str(tmp_path), "t"), schema,
+                             key_cols=["repo", "path"], num_buckets=4)
+    r = CdcStreamRunner(spark, table, "/feed", ckpt, txn_app="x")
+    assert r._source_log_files(0) == ["/feed/a.parquet"]      # plain file
+    # batch 1 has no plain file -> resolved from the compact, filtered by id
+    assert r._source_log_files(1) == ["/feed/b.parquet", "/feed/c.parquet"]
+    assert r._source_log_files(2) == ["/feed/d.parquet"]
+    with pytest.raises(FileNotFoundError):
+        r._source_log_files(3)
