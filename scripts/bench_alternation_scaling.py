@@ -375,6 +375,18 @@ def write_report() -> dict:
         "rules are IDENTICAL across v3/v3.2/v4 (one `_score`); the "
         "protocols differ only in executor lifecycle, noted per section.",
     ]
+    pooled = [p for p in pool if p.get("protocol") == "twin_v4"
+              and p.get("warm_feed", False)]
+    if pooled:
+        ps = _score(pooled)
+        lines += [
+            "",
+            f"**Pooled twin-v4 (protocol of record, warm-feed campaigns "
+            f"{'+'.join(sorted({p['engine'] for p in pooled}))}): median "
+            f"pair efficiency {ps['median_valid']} over {ps['n_valid']} "
+            f"valid pairs ({ps['n_pairs']} measured), task-time efficiency "
+            f"{ps['median_tt_eff']}.** Per-campaign sections below.",
+        ]
     for key in sorted(configs, key=lambda k: (gens.index(k[0]),) + tuple(
             str(x) for x in k[1:])):
         s = scored[key]
